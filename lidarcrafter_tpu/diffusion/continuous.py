@@ -1,0 +1,338 @@
+"""Continuous-time Gaussian diffusion engine (VDM parameterisation).
+
+TPU-native re-design of ``lidargen/models/diffusion/continuous_time.py:66-319``
+and the shared loss plumbing of ``base.py:9-165``:
+
+- the engine is a frozen dataclass of *static* config + a model ``apply_fn``;
+  every method is a pure function of ``(params, rng, data)`` and jit-able;
+- the reverse process runs as a single ``lax.scan`` over timesteps (the
+  reference loops in Python per step, ``continuous_time.py:254-259`` — the #1
+  dispatch bottleneck on accelerator hardware);
+- RePaint-style inpainting is a ``lax.scan`` over an unrolled (step, resample)
+  schedule instead of nested Python loops (``continuous_time.py:262-319``).
+
+Shapes: data is NHWC ``(B, H, W, C)`` (or any ``(B, ...)``); timesteps
+broadcast from ``(B,)`` over all trailing axes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Literal, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from . import schedules
+
+ModelApplyFn = Callable[..., jnp.ndarray]
+
+
+def _bcast(t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Broadcast (B,) → (B, 1, 1, ...) for `ndim` total dims."""
+    return t.reshape(t.shape + (1,) * (ndim - t.ndim))
+
+
+@dataclasses.dataclass(frozen=True)
+class ContinuousDiffusion:
+    """Continuous-time Gaussian diffusion (https://arxiv.org/pdf/2107.00630.pdf).
+
+    ``apply_fn(params, x_t, log_snr_t, **model_kwargs) -> prediction``.
+    """
+
+    apply_fn: ModelApplyFn
+    sampling_shape: tuple[int, ...]  # (H, W, C) — without batch
+    prediction_type: Literal["eps", "v", "x_0"] = "eps"
+    loss_type: Literal["l2", "l1", "huber"] = "l2"
+    noise_schedule: str = "cosine"
+    min_snr_loss_weight: bool = True
+    min_snr_gamma: float = 5.0
+    clip_sample: bool = True
+    clip_sample_range: float = 1.0
+    image_d: float | None = None
+    noise_d_low: float | None = None
+    noise_d_high: float | None = None
+
+    def log_snr(self, t: jnp.ndarray) -> jnp.ndarray:
+        fn = schedules.get_log_snr_fn(
+            self.noise_schedule, self.image_d, self.noise_d_low, self.noise_d_high
+        )
+        return fn(t)
+
+    # ------------------------------------------------------------------ losses
+
+    def criterion(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """Unreduced loss; cf. ``base.py:41-50``."""
+        if self.loss_type == "l2":
+            return (pred - target) ** 2
+        if self.loss_type == "l1":
+            return jnp.abs(pred - target)
+        if self.loss_type == "huber":  # SmoothL1 with beta=1
+            diff = jnp.abs(pred - target)
+            return jnp.where(diff < 1.0, 0.5 * diff**2, diff - 0.5)
+        raise ValueError(self.loss_type)
+
+    def get_target(
+        self, x_0: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray
+    ) -> jnp.ndarray:
+        """cf. ``continuous_time.py:142-153``."""
+        if self.prediction_type == "eps":
+            return noise
+        if self.prediction_type == "x_0":
+            return x_0
+        if self.prediction_type == "v":
+            log_snr = _bcast(self.log_snr(t), x_0.ndim)
+            alpha, sigma = schedules.log_snr_to_alpha_sigma(log_snr)
+            return alpha * noise - sigma * x_0
+        raise ValueError(self.prediction_type)
+
+    def get_loss_weight(self, t: jnp.ndarray) -> jnp.ndarray:
+        """min-SNR-γ weighting; cf. ``continuous_time.py:155-169``."""
+        snr = jnp.exp(self.log_snr(t))
+        clipped = jnp.minimum(snr, self.min_snr_gamma) if self.min_snr_loss_weight else snr
+        if self.prediction_type == "eps":
+            return clipped / snr
+        if self.prediction_type == "x_0":
+            return clipped
+        if self.prediction_type == "v":
+            return clipped / (snr + 1)
+        raise ValueError(self.prediction_type)
+
+    # ----------------------------------------------------------------- forward
+
+    def q_step_from_x_0(
+        self, x_0: jnp.ndarray, t: jnp.ndarray, rng: jax.Array
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Forward process q(z_t | x_0); cf. ``continuous_time.py:171-178``."""
+        noise = jax.random.normal(rng, x_0.shape, x_0.dtype)
+        log_snr = _bcast(self.log_snr(t), x_0.ndim)
+        alpha, sigma = schedules.log_snr_to_alpha_sigma(log_snr)
+        return x_0 * alpha + noise * sigma, noise
+
+    def q_step(
+        self, x_s: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray, rng: jax.Array
+    ) -> jnp.ndarray:
+        """q(z_t | z_s), 0<s<t<1; cf. ``continuous_time.py:180-192``."""
+        log_snr_t = _bcast(self.log_snr(t), x_s.ndim)
+        log_snr_s = _bcast(self.log_snr(s), x_s.ndim)
+        alpha_t, sigma_t = schedules.log_snr_to_alpha_sigma(log_snr_t)
+        alpha_s, sigma_s = schedules.log_snr_to_alpha_sigma(log_snr_s)
+        alpha_ts = alpha_t / alpha_s
+        noise = jax.random.normal(rng, x_s.shape, x_s.dtype)
+        var = sigma_t**2 - alpha_ts**2 * sigma_s**2
+        return x_s * alpha_ts + jnp.sqrt(var) * noise
+
+    def p_loss(
+        self,
+        params: Any,
+        rng: jax.Array,
+        x_0: jnp.ndarray,
+        t: jnp.ndarray,
+        loss_mask: jnp.ndarray | None = None,
+        model_kwargs: dict | None = None,
+    ) -> jnp.ndarray:
+        """Per-sample masked loss with min-SNR weight; cf. ``base.py:124-141``."""
+        loss_mask = jnp.ones_like(x_0) if loss_mask is None else loss_mask
+        x_t, noise = self.q_step_from_x_0(x_0, t, rng)
+        prediction = self.apply_fn(params, x_t, self.log_snr(t), **(model_kwargs or {}))
+        target = self.get_target(x_0, t, noise)
+        loss = self.criterion(prediction, target)
+        axes = tuple(range(1, x_0.ndim))
+        loss = jnp.sum(loss * loss_mask, axis=axes)
+        denom = jnp.sum(loss_mask, axis=axes) + 1e-8
+        loss = loss / denom
+        return jnp.mean(loss * self.get_loss_weight(t))
+
+    def loss(
+        self,
+        params: Any,
+        rng: jax.Array,
+        x_0: jnp.ndarray,
+        loss_mask: jnp.ndarray | None = None,
+        model_kwargs: dict | None = None,
+    ) -> jnp.ndarray:
+        """Training loss with uniform continuous timesteps; cf. ``base.py:143-151``."""
+        rng_t, rng_q = jax.random.split(rng)
+        t = jax.random.uniform(rng_t, (x_0.shape[0],), dtype=jnp.float32)
+        return self.p_loss(params, rng_q, x_0, t, loss_mask, model_kwargs)
+
+    # ----------------------------------------------------------------- reverse
+
+    def predict_x_0(
+        self,
+        params: Any,
+        x_t: jnp.ndarray,
+        t: jnp.ndarray,
+        model_kwargs: dict | None = None,
+    ) -> jnp.ndarray:
+        log_snr_t = self.log_snr(t)
+        lsb = _bcast(log_snr_t, x_t.ndim)
+        alpha_t, sigma_t = schedules.log_snr_to_alpha_sigma(lsb)
+        prediction = self.apply_fn(params, x_t, log_snr_t, **(model_kwargs or {}))
+        if self.prediction_type == "eps":
+            x_0 = (x_t - sigma_t * prediction) / alpha_t
+        elif self.prediction_type == "v":
+            x_0 = alpha_t * x_t - sigma_t * prediction
+        elif self.prediction_type == "x_0":
+            x_0 = prediction
+        else:
+            raise ValueError(self.prediction_type)
+        if self.clip_sample:
+            x_0 = jnp.clip(x_0, -self.clip_sample_range, self.clip_sample_range)
+        return x_0
+
+    def p_step(
+        self,
+        params: Any,
+        rng: jax.Array,
+        x_t: jnp.ndarray,
+        t: jnp.ndarray,
+        s: jnp.ndarray,
+        mode: Literal["ddpm", "ddim"] = "ddpm",
+        ddim_eta: float = 0.0,
+        model_kwargs: dict | None = None,
+    ) -> jnp.ndarray:
+        """One reverse step p(z_s | z_t); cf. ``continuous_time.py:194-234``."""
+        log_snr_t = _bcast(self.log_snr(t), x_t.ndim)
+        log_snr_s = _bcast(self.log_snr(s), x_t.ndim)
+        alpha_t, sigma_t = schedules.log_snr_to_alpha_sigma(log_snr_t)
+        alpha_s, sigma_s = schedules.log_snr_to_alpha_sigma(log_snr_s)
+        x_0 = self.predict_x_0(params, x_t, t, model_kwargs)
+        noise = jax.random.normal(rng, x_t.shape, x_t.dtype)
+        if mode == "ddpm":
+            c = -jnp.expm1(log_snr_t - log_snr_s)
+            mean = alpha_s * (x_t * (1 - c) / alpha_t + c * x_0)
+            std = sigma_s * jnp.sqrt(c)
+            return mean + std * noise
+        if mode == "ddim":
+            c_1 = ddim_eta * sigma_s / sigma_t * jnp.sqrt(1 - alpha_t**2 / alpha_s**2)
+            c_2 = jnp.sqrt(1 - alpha_s**2 - c_1**2)
+            eps = (x_t - alpha_t * x_0) / sigma_t
+            return alpha_s * x_0 + c_1 * noise + c_2 * eps
+        raise ValueError(mode)
+
+    @partial(jax.jit, static_argnames=("self", "batch_size", "num_steps", "mode", "return_all"))
+    def sample(
+        self,
+        params: Any,
+        rng: jax.Array,
+        batch_size: int,
+        num_steps: int,
+        mode: Literal["ddpm", "ddim"] = "ddpm",
+        ddim_eta: float = 0.0,
+        return_all: bool = False,
+        model_kwargs: dict | None = None,
+    ) -> jnp.ndarray:
+        """Full reverse process as one ``lax.scan``; cf. ``continuous_time.py:236-260``.
+
+        Returns (B, *sampling_shape) — or (num_steps+1, B, ...) if ``return_all``.
+        """
+        rng_init, rng_scan = jax.random.split(rng)
+        x = jax.random.normal(
+            rng_init, (batch_size, *self.sampling_shape), jnp.float32
+        )
+        steps = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+
+        def body(carry, i):
+            x = carry
+            t = jnp.full((batch_size,), steps[i])
+            s = jnp.full((batch_size,), steps[i + 1])
+            x = self.p_step(
+                params,
+                jax.random.fold_in(rng_scan, i),
+                x,
+                t,
+                s,
+                mode=mode,
+                ddim_eta=ddim_eta,
+                model_kwargs=model_kwargs,
+            )
+            return x, x if return_all else None
+
+        x_final, xs = jax.lax.scan(body, x, jnp.arange(num_steps))
+        if return_all:
+            return jnp.concatenate([x[None], xs], axis=0)
+        return x_final
+
+    @partial(
+        jax.jit,
+        static_argnames=("self", "num_steps", "num_resample_steps", "jump_length"),
+    )
+    def repaint(
+        self,
+        params: Any,
+        rng: jax.Array,
+        known: jnp.ndarray,
+        mask: jnp.ndarray,
+        num_steps: int,
+        num_resample_steps: int = 1,
+        jump_length: int = 1,
+        model_kwargs: dict | None = None,
+    ) -> jnp.ndarray:
+        """RePaint inpainting (https://arxiv.org/abs/2201.09865); cf.
+        ``continuous_time.py:262-319``, restructured as a scan over a static
+        (i, j) schedule so the whole trajectory stays on-device.
+        """
+        assert num_resample_steps > 0 and jump_length > 0
+        batch_size = known.shape[0]
+        rng_init, rng_scan = jax.random.split(rng)
+        x_t = jax.random.normal(
+            rng_init, (batch_size, *self.sampling_shape), jnp.float32
+        )
+        steps = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+        interp = jnp.linspace(0.0, 1.0, jump_length + 1, dtype=jnp.float32)
+
+        # Static (i, j) iteration schedule, flattened.
+        ij = [(i, j) for i in range(num_steps) for j in range(num_resample_steps)]
+        i_arr = jnp.array([i for i, _ in ij])
+        j_arr = jnp.array([j for _, j in ij])
+        last_j = num_resample_steps - 1
+
+        def outer(carry, idx):
+            x_t = carry
+            i, j = i_arr[idx], j_arr[idx]
+            step_t, step_s = steps[i], steps[i + 1]
+            r_steps = step_t + interp * (step_s - step_t)  # (jump_length+1,)
+            rng_ij = jax.random.fold_in(rng_scan, idx)
+
+            # t -> s (reverse)
+            def rev_body(x, k):
+                r_t = jnp.full((batch_size,), r_steps[k])
+                r_s = jnp.full((batch_size,), r_steps[k + 1])
+                rk = jax.random.fold_in(rng_ij, k)
+                known_s, _ = self.q_step_from_x_0(known, r_s, jax.random.fold_in(rk, 1))
+                unknown_s = self.p_step(
+                    params, jax.random.fold_in(rk, 2), x, r_t, r_s,
+                    mode="ddpm", model_kwargs=model_kwargs,
+                )
+                return mask * known_s + (1 - mask) * unknown_s, None
+
+            x_s, _ = jax.lax.scan(rev_body, x_t, jnp.arange(jump_length))
+
+            # s -> t (forward), skipped on the last resample iteration
+            def fwd(x):
+                def fwd_body(x, k_rev):
+                    k = jump_length - k_rev  # jump_length .. 1
+                    r_t = jnp.full((batch_size,), r_steps[k - 1])
+                    r_s = jnp.full((batch_size,), r_steps[k])
+                    rk = jax.random.fold_in(rng_ij, 100 + k)
+                    return self.q_step(x, r_t, r_s, rk), None
+
+                out, _ = jax.lax.scan(fwd_body, x, jnp.arange(jump_length))
+                return out
+
+            is_last = (i == num_steps - 1) | (j == last_j)
+            x_t_next = jnp.where(is_last, x_s, fwd(x_s))
+            return x_t_next, x_s
+
+        _, all_x_s = jax.lax.scan(outer, x_t, jnp.arange(len(ij)))
+        return all_x_s[-1]
+
+    # alias matching the reference's ``inpaint`` naming
+    inpaint = repaint
+
+
+def linspace_timesteps(num_steps: int) -> jnp.ndarray:
+    """The t_i grid used by the samplers (1.0 → 0.0 inclusive)."""
+    return jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)

@@ -1,0 +1,232 @@
+"""Shared model blocks: ring padding/conv, FIR resampling, AdaGN, attention.
+
+TPU-native flax re-design of ``lidargen/models/unets/ops.py`` (207 LoC).  All
+activations are NHWC; the azimuth axis (W) is periodic, so horizontal padding
+is circular ("ring") — cf. ``ops.py:32-49``.  Under ``shard_map``/``pjit`` with
+W sharded, XLA lowers the wrap-around concat and conv halos to neighbor
+collective-permutes over ICI, which is the idiomatic TPU analogue of the
+reference's single-GPU circular padding.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def ring_pad(
+    x: jnp.ndarray, pad: int | tuple[int, int, int, int], ring: bool = True
+) -> jnp.ndarray:
+    """Pad NHWC: circular on W if ``ring``, zeros on H; cf. ``ops.py:32-49``.
+
+    ``pad`` is (left, right, top, bottom) or a single int for all sides.
+    """
+    if isinstance(pad, int):
+        left = right = top = bottom = pad
+    else:
+        left, right, top, bottom = pad
+    w_mode = "wrap" if ring else "constant"
+    x = jnp.pad(x, ((0, 0), (0, 0), (left, right), (0, 0)), mode=w_mode)
+    x = jnp.pad(x, ((0, 0), (top, bottom), (0, 0), (0, 0)), mode="constant")
+    return x
+
+
+def sinusoidal_embedding(
+    x: jnp.ndarray, channels: int, max_period: int = 10_000
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding; cf. ``ops.py:14-29``.  ``x``: (B,)."""
+    half = channels // 2
+    freqs = jnp.exp(
+        -math.log(max_period) / (half - 1) * jnp.arange(half, dtype=jnp.float32)
+    )
+    h = x[:, None].astype(jnp.float32) * freqs[None, :]
+    return jnp.concatenate([jnp.sin(h), jnp.cos(h)], axis=-1)
+
+
+class RingConv(nn.Module):
+    """3x3 (or kxk) conv with circular W padding; cf. ``ops.py:149-173``."""
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    padding: int = 1
+    stride: int = 1
+    ring: bool = False
+    use_bias: bool = True
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.padding != 0:
+            x = ring_pad(x, self.padding, ring=self.ring)
+        kernel_init = (
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        )
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=(self.stride, self.stride),
+            padding="VALID",
+            use_bias=self.use_bias,
+            kernel_init=kernel_init,
+            bias_init=nn.initializers.zeros,
+        )(x)
+
+
+class Resample(nn.Module):
+    """FIR up/down-sampling with window [1,3,3,1]; cf. ``ops.py:52-146``.
+
+    Zero-insertion upsampling / stride-slice downsampling around a separable
+    depthwise FIR filter, with circular padding on W when ``ring``.
+    """
+
+    up: int = 1
+    down: int = 1
+    window: Sequence[float] = (1.0, 3.0, 3.0, 1.0)
+    ring: bool = True
+    normalize: bool = True
+
+    def setup(self):
+        k = jnp.asarray(self.window, dtype=jnp.float32)
+        if self.normalize:
+            k = k / jnp.sum(k)
+        k = k * (self.up * self.up) ** 0.5  # gain per 1D application
+        self.kernel = k
+        n_taps = len(self.window)
+        if self.up > 1:
+            self.p0 = (n_taps - self.up + 1) // 2 + self.up - 1
+            self.p1 = (n_taps - self.up) // 2
+        else:
+            self.p0 = (n_taps - self.down + 1) // 2
+            self.p1 = (n_taps - self.down) // 2
+        self.margin = int(max(self.p0, self.p1))
+
+    def _fir_1d(self, x: jnp.ndarray, axis: int) -> jnp.ndarray:
+        """Depthwise 1D FIR along H (axis=1) or W (axis=2) of NHWC."""
+        C = x.shape[-1]
+        n = len(self.window)
+        if axis == 1:
+            kernel = self.kernel.reshape(n, 1, 1, 1)
+        else:
+            kernel = self.kernel.reshape(1, n, 1, 1)
+        kernel = jnp.tile(kernel, (1, 1, 1, C)).astype(x.dtype)
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        m, up, down = self.margin, self.up, self.down
+        # margin pad (circular W / zero H)
+        x = ring_pad(x, (m, m, m, m), ring=self.ring)
+        Hp, Wp = H + 2 * m, W + 2 * m
+        # zero-insertion upsample
+        if up > 1:
+            x = x.reshape(B, Hp, 1, Wp, 1, C)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, up - 1), (0, 0), (0, up - 1), (0, 0)))
+            x = x.reshape(B, Hp * up, Wp * up, C)
+        # crop to the FIR input window
+        x = x[
+            :,
+            m * up - self.p0 : (Hp - m) * up + self.p1,
+            m * up - self.p0 : (Wp - m) * up + self.p1,
+            :,
+        ]
+        # separable FIR
+        x = self._fir_1d(x, axis=2)
+        x = self._fir_1d(x, axis=1)
+        # downsample
+        if down > 1:
+            x = x[:, ::down, ::down, :]
+        return x
+
+
+class AdaGN(nn.Module):
+    """Adaptive GroupNorm: GN(x) * (1 + scale(emb)) + shift(emb); cf. ``ops.py:176-200``."""
+
+    num_groups: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        h = nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.eps, use_bias=False, use_scale=False
+        )(x)
+        proj = nn.Dense(C * 2)(nn.silu(emb))
+        scale, shift = jnp.split(proj, 2, axis=-1)
+        scale = scale[:, None, None, :]
+        shift = shift[:, None, None, :]
+        return h * (1 + scale) + shift
+
+
+class SelfAttention2d(nn.Module):
+    """Full self-attention over H*W tokens; cf. ``efficient_unet.py:28-58``.
+
+    GroupNorm → MHA (out-proj zero-init) → residual → × 1/sqrt(2).
+    """
+
+    num_heads: int = 8
+    gn_num_groups: int = 8
+    gn_eps: float = 1e-6
+    scale: float = 1.0 / math.sqrt(2.0)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        h = nn.GroupNorm(num_groups=self.gn_num_groups, epsilon=self.gn_eps)(x)
+        h = h.reshape(B, H * W, C)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=C,
+            out_features=C,
+            out_kernel_init=nn.initializers.zeros,
+        )(h, h)
+        h = h.reshape(B, H, W, C)
+        return (x + h) * self.scale
+
+
+class ResidualBlock(nn.Module):
+    """GN→SiLU→conv, AdaGN(emb)→SiLU→zero-conv, skip, × 1/sqrt(2).
+
+    cf. ``efficient_unet.py:61-115``.
+    """
+
+    features: int
+    gn_num_groups: int = 8
+    gn_eps: float = 1e-6
+    dropout: float = 0.0
+    ring: bool = False
+    scale: float = 1.0 / math.sqrt(2.0)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        emb: jnp.ndarray | None = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        h = nn.GroupNorm(num_groups=self.gn_num_groups, epsilon=self.gn_eps)(x)
+        h = nn.silu(h)
+        h = RingConv(self.features, ring=self.ring, name="conv1")(h)
+        if emb is not None:
+            h = AdaGN(num_groups=self.gn_num_groups, eps=self.gn_eps, name="norm2")(h, emb)
+        else:
+            h = nn.GroupNorm(
+                num_groups=self.gn_num_groups, epsilon=self.gn_eps, name="norm2_gn"
+            )(h)
+        h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
+        h = RingConv(self.features, ring=self.ring, zero_init=True, name="conv2")(h)
+        if x.shape[-1] != self.features:
+            x = RingConv(self.features, kernel_size=(1, 1), padding=0, name="skip")(x)
+        return (x + h) * self.scale
