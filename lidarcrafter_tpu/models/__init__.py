@@ -1,14 +1,25 @@
 """Model zoo registry, mirroring ``lidargen/models/unets/__init__.py:15-30``.
 
-Entries are appended as each family lands; keys match the reference so configs
-and checkpoints can drive the TPU backend unchanged.
+Keys match the reference so configs and checkpoints can drive the TPU backend
+unchanged.  Entries are appended as each family lands.
 """
 
 from .efficient_unet import EfficientUNet, EfficientUNetCond
+from .layout_encoder import LayoutTransformerEncoder
+from .layout_unet import LayoutUnetV1
+from .point_unet import ObjectGenEncoder, PointUNet
+from .scene_graph import SceneGraph
+from .unet_1d import UNet1DModel
 
 __all_models__ = {
     "efficient_unet": EfficientUNet,
     "efficient_unet_cond": EfficientUNetCond,
+    "layout_encoder": LayoutTransformerEncoder,
+    "layout_unet_v1": LayoutUnetV1,
+    "unet_1d": UNet1DModel,
+    "scene_graph": SceneGraph,
+    "object_gen_encoder": ObjectGenEncoder,
+    "point_unet": PointUNet,
 }
 
 

@@ -22,7 +22,9 @@ from typing import Iterable, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..utils.lidar import get_linear_ray_angles
+import numpy as np
+
+from ..utils.lidar import get_linear_ray_angles_np
 from . import encoding as enc
 from .ops import Resample, ResidualBlock, RingConv, SelfAttention2d, sinusoidal_embedding
 
@@ -114,12 +116,13 @@ class EfficientUNet(nn.Module):
     fov_up: float = 10.0
     fov_down: float = -30.0
 
-    def coords(self) -> jnp.ndarray:
+    def coords(self) -> np.ndarray:
+        """Static (H, W, 2) coordinate grid, computed host-side in float64."""
         if self.use_ray_angle_coords:
-            return get_linear_ray_angles(
+            return get_linear_ray_angles_np(
                 *self.resolution, fov_up=self.fov_up, fov_down=self.fov_down
             )
-        return enc.generate_polar_coords(*self.resolution)
+        return enc.generate_polar_coords(*self.resolution).astype(np.float64)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, timesteps: jnp.ndarray) -> jnp.ndarray:

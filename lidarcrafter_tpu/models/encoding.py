@@ -1,27 +1,29 @@
 """Spatial coordinate encodings (spherical harmonics / polar / Fourier).
 
-Pure-jnp re-design of ``lidargen/models/unets/encoding.py`` (149 LoC).  All
-functions return HWC maps that are concatenated onto the denoiser input as
-extra channels (``efficient_unet.py:222-234``).
+Re-design of ``lidargen/models/unets/encoding.py`` (149 LoC).  The encodings
+are functions of static module config only, so they are precomputed host-side
+in numpy float64 (more accurate than fp32 sin/cos at frequencies up to 2^10)
+and embedded as constants in the jitted graph.  All functions return HWC maps
+concatenated onto the denoiser input as extra channels
+(``efficient_unet.py:222-234``).
 """
 
 from __future__ import annotations
 
 import math
 
-import jax.numpy as jnp
 import numpy as np
 
 
-def generate_polar_coords(H: int, W: int) -> jnp.ndarray:
+def generate_polar_coords(H: int, W: int) -> np.ndarray:
     """(H, W, 2): [phi (polar), theta (azimuth)]; cf. ``encoding.py:80-89``."""
-    phi = (0.5 - jnp.arange(H, dtype=jnp.float32) / H) * jnp.pi
-    theta = (1 - jnp.arange(W, dtype=jnp.float32) / W) * 2 * jnp.pi - jnp.pi
-    phi, theta = jnp.meshgrid(phi, theta, indexing="ij")
-    return jnp.stack([phi, theta], axis=-1)
+    phi = (0.5 - np.arange(H, dtype=np.float32) / H) * np.pi
+    theta = (1 - np.arange(W, dtype=np.float32) / W) * 2 * np.pi - np.pi
+    phi, theta = np.meshgrid(phi, theta, indexing="ij")
+    return np.stack([phi, theta], axis=-1)
 
 
-def spherical_harmonics_components(directions: jnp.ndarray, levels: int) -> jnp.ndarray:
+def spherical_harmonics_components(directions: np.ndarray, levels: int) -> np.ndarray:
     """Real SH basis values up to ``levels``; cf. ``encoding.py:10-77``.
 
     ``directions``: (..., 3) unit vectors → (..., levels**2).
@@ -30,7 +32,7 @@ def spherical_harmonics_components(directions: jnp.ndarray, levels: int) -> jnp.
     y = directions[..., 1]
     z = directions[..., 2]
     xx, yy, zz = x * x, y * y, z * z
-    comps = [jnp.full(x.shape, 0.28209479177387814, dtype=directions.dtype)]
+    comps = [np.full(x.shape, 0.28209479177387814, dtype=directions.dtype)]
     if levels > 1:
         comps += [
             0.4886025119029199 * y,
@@ -67,17 +69,17 @@ def spherical_harmonics_components(directions: jnp.ndarray, levels: int) -> jnp.
             1.7701307697799304 * x * z * (xx - 3 * yy),
             0.6258357354491761 * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)),
         ]
-    return jnp.stack(comps, axis=-1)
+    return np.stack(comps, axis=-1)
 
 
-def spherical_harmonics_encoding(coords: jnp.ndarray, levels: int = 5) -> jnp.ndarray:
+def spherical_harmonics_encoding(coords: np.ndarray, levels: int = 5) -> np.ndarray:
     """(H, W, 2) [phi, theta] → (H, W, levels**2); cf. ``encoding.py:92-114``."""
     phi, theta = coords[..., 0], coords[..., 1]
-    directions = jnp.stack(
+    directions = np.stack(
         [
-            jnp.cos(theta) * jnp.cos(phi),
-            -jnp.sin(theta) * jnp.cos(phi),
-            jnp.sin(phi),
+            np.cos(theta) * np.cos(phi),
+            -np.sin(theta) * np.cos(phi),
+            np.sin(phi),
         ],
         axis=-1,
     )
@@ -98,12 +100,13 @@ def fourier_feature_frequencies(resolution: tuple[int, int]) -> np.ndarray:
 
 
 def fourier_features_encoding(
-    coords: jnp.ndarray, resolution: tuple[int, int]
-) -> jnp.ndarray:
+    coords: np.ndarray, resolution: tuple[int, int]
+) -> np.ndarray:
     """(H, W, 2) coords → (H, W, 2*(L_h+L_w)); cf. ``encoding.py:141-146``."""
-    freqs = jnp.asarray(fourier_feature_frequencies(resolution))  # (2, F)
-    proj = jnp.einsum("hwc,cf->hwf", coords, freqs)
-    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+    freqs = fourier_feature_frequencies(resolution).astype(np.float64)  # (2, F)
+    proj = np.einsum("hwc,cf->hwf", coords.astype(np.float64), freqs)
+    out = np.concatenate([np.sin(proj), np.cos(proj)], axis=-1)
+    return out.astype(np.float32)
 
 
 def coords_encoding_channels(kind: str | None, resolution: tuple[int, int]) -> int:
@@ -122,8 +125,8 @@ def coords_encoding_channels(kind: str | None, resolution: tuple[int, int]) -> i
 
 
 def encode_coords(
-    coords: jnp.ndarray, kind: str | None, resolution: tuple[int, int]
-) -> jnp.ndarray | None:
+    coords: np.ndarray, kind: str | None, resolution: tuple[int, int]
+) -> np.ndarray | None:
     """Dispatch; coords is (H, W, 2) [elevation/phi, azimuth/theta]."""
     if kind is None:
         return None

@@ -120,6 +120,7 @@ class Resample(nn.Module):
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -25,6 +25,24 @@ import numpy as np
 DepthFormat = Literal["log_depth", "inverse_depth", "depth"]
 
 
+def get_linear_ray_angles_np(
+    H: int = 64,
+    W: int = 2048,
+    fov_up: float = 10.0,
+    fov_down: float = -30.0,
+    dtype=np.float64,
+) -> np.ndarray:
+    """Host-side (numpy) linear ray angles, used for static coord encodings."""
+    w_left, w_right = 180.0, -180.0
+    elevation = 1.0 - np.arange(H, dtype=dtype) / H
+    elevation = elevation * (fov_up - fov_down) + fov_down
+    azimuth = 1.0 - np.arange(W, dtype=dtype) / W
+    azimuth = azimuth * (w_left - w_right) + w_right
+    elev, azim = np.meshgrid(elevation, azimuth, indexing="ij")
+    angles = np.stack([elev, azim], axis=-1)
+    return np.deg2rad(angles)
+
+
 def get_linear_ray_angles(
     H: int = 64,
     W: int = 2048,
@@ -35,14 +53,9 @@ def get_linear_ray_angles(
 
     Returns ``(H, W, 2)`` radians, channel 0 = elevation, channel 1 = azimuth.
     """
-    w_left, w_right = 180.0, -180.0
-    elevation = 1.0 - jnp.arange(H, dtype=jnp.float32) / H
-    elevation = elevation * (fov_up - fov_down) + fov_down
-    azimuth = 1.0 - jnp.arange(W, dtype=jnp.float32) / W
-    azimuth = azimuth * (w_left - w_right) + w_right
-    elev, azim = jnp.meshgrid(elevation, azimuth, indexing="ij")
-    angles = jnp.stack([elev, azim], axis=-1)
-    return jnp.deg2rad(angles)
+    return jnp.asarray(
+        get_linear_ray_angles_np(H, W, fov_up, fov_down, dtype=np.float32)
+    )
 
 
 def get_hdl64e_linear_ray_angles(H: int = 64, W: int = 2048) -> jnp.ndarray:

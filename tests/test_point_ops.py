@@ -1,0 +1,165 @@
+"""Point-cloud ops: semantics tests vs numpy brute force (CUDA refs can't run on CPU;
+conventions extracted from the reference kernels — see docstrings in ops/points.py)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lidarcrafter_tpu.ops.bev import point_cloud_to_histogram
+from lidarcrafter_tpu.ops.chamfer import chamfer_distance, chamfer_metric
+from lidarcrafter_tpu.ops.points import (
+    ball_query,
+    farthest_point_sampling,
+    gather_points,
+    group_points,
+    interpolation_weights,
+    knn,
+    points_in_boxes,
+    three_interpolate,
+    three_nn,
+)
+
+
+def _np_points_in_box(pts, box):
+    """Brute force mirroring check_pt_in_box3d (roiaware_pool3d_kernel.cu:16-36)."""
+    cx, cy, cz, dx, dy, dz, rz = box[:7]
+    x, y, z = pts[:, 0] - cx, pts[:, 1] - cy, pts[:, 2] - cz
+    if_z = np.abs(z) <= dz / 2.0
+    cosa, sina = np.cos(-rz), np.sin(-rz)
+    lx = x * cosa - y * sina
+    ly = x * sina + y * cosa
+    return if_z & (np.abs(lx) < dx / 2 + 1e-5) & (np.abs(ly) < dy / 2 + 1e-5)
+
+
+def test_points_in_boxes_vs_bruteforce():
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-20, 20, (500, 3)).astype(np.float32)
+    boxes = np.zeros((4, 7), np.float32)
+    boxes[:, :3] = rng.uniform(-10, 10, (4, 3))
+    boxes[:, 3:6] = rng.uniform(1, 8, (4, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, 4)
+    got = np.asarray(points_in_boxes(jnp.asarray(pts), jnp.asarray(boxes)))
+    for i in range(4):
+        want = _np_points_in_box(pts, boxes[i])
+        np.testing.assert_array_equal(got[i], want)
+    assert got.sum() > 0  # some points actually inside
+
+
+def test_fps_matches_bruteforce():
+    rng = np.random.RandomState(1)
+    xyz = rng.randn(1, 64, 3).astype(np.float32)
+    S = 8
+    got = np.asarray(farthest_point_sampling(jnp.asarray(xyz), S))[0]
+
+    # brute force (sampling_gpu.cu semantics)
+    pts = xyz[0]
+    idxs = [0]
+    min_d = np.full(64, 1e10)
+    for _ in range(S - 1):
+        d = np.sum((pts - pts[idxs[-1]]) ** 2, axis=1)
+        min_d = np.minimum(min_d, d)
+        idxs.append(int(np.argmax(min_d)))
+    np.testing.assert_array_equal(got, idxs)
+
+
+def test_fps_respects_mask():
+    rng = np.random.RandomState(2)
+    xyz = rng.randn(1, 32, 3).astype(np.float32)
+    mask = np.ones((1, 32), bool)
+    mask[0, 16:] = False
+    got = np.asarray(farthest_point_sampling(jnp.asarray(xyz), 8, jnp.asarray(mask)))
+    assert (got < 16).all()
+
+
+def test_ball_query_semantics():
+    """First nsample in-radius in index order; empties filled with first hit."""
+    xyz = np.zeros((1, 6, 3), np.float32)
+    xyz[0, :, 0] = [0.0, 0.1, 0.2, 5.0, 0.15, 0.05]
+    q = np.zeros((1, 1, 3), np.float32)
+    idx = np.asarray(ball_query(jnp.asarray(q), jnp.asarray(xyz), 0.3, 3))[0, 0]
+    # in-radius in index order: 0, 1, 2, 4, 5 → first 3 = [0, 1, 2]
+    np.testing.assert_array_equal(idx, [0, 1, 2])
+
+    idx = np.asarray(ball_query(jnp.asarray(q), jnp.asarray(xyz), 0.12, 4))[0, 0]
+    # in-radius: 0, 1, 4(0.15? no >0.12), 5 → order: 0, 1, 5; slot 3 filled w/ first (0)
+    np.testing.assert_array_equal(idx, [0, 1, 5, 0])
+
+    # no points in radius → zeros
+    far_q = np.full((1, 1, 3), 100.0, np.float32)
+    idx = np.asarray(ball_query(jnp.asarray(far_q), jnp.asarray(xyz), 0.1, 2))[0, 0]
+    np.testing.assert_array_equal(idx, [0, 0])
+
+
+def test_knn_three_nn_interpolate():
+    rng = np.random.RandomState(3)
+    xyz = rng.randn(2, 32, 3).astype(np.float32)
+    q = rng.randn(2, 5, 3).astype(np.float32)
+    d2, idx = knn(jnp.asarray(q), jnp.asarray(xyz), 4)
+    # brute-force check batch 0, query 0
+    bd = np.sum((q[0, 0] - xyz[0]) ** 2, axis=1)
+    order = np.argsort(bd)[:4]
+    np.testing.assert_allclose(np.asarray(d2)[0, 0], np.sort(bd)[:4], rtol=1e-4)
+    assert set(np.asarray(idx)[0, 0].tolist()) == set(order.tolist())
+
+    dist, idx3 = three_nn(jnp.asarray(q), jnp.asarray(xyz))
+    w = interpolation_weights(dist)
+    feats = rng.randn(2, 8, 32).astype(np.float32)
+    out = three_interpolate(jnp.asarray(feats), idx3, w)
+    assert out.shape == (2, 8, 5)
+    # weights sum to 1 → interpolation of constant features is constant
+    const = np.ones((2, 1, 32), np.float32)
+    out_c = three_interpolate(jnp.asarray(const), idx3, w)
+    np.testing.assert_allclose(np.asarray(out_c), 1.0, rtol=1e-5)
+
+
+def test_gather_group():
+    feats = jnp.arange(2 * 3 * 10).reshape(2, 3, 10).astype(jnp.float32)
+    idx = jnp.asarray([[0, 5], [9, 1]], dtype=jnp.int32)
+    out = gather_points(feats, idx)
+    np.testing.assert_allclose(np.asarray(out)[0, :, 0], np.asarray(feats)[0, :, 0])
+    np.testing.assert_allclose(np.asarray(out)[1, :, 1], np.asarray(feats)[1, :, 1])
+    gidx = jnp.asarray([[[0, 1], [2, 3]], [[4, 5], [6, 7]]], dtype=jnp.int32)
+    out = group_points(feats, gidx)
+    assert out.shape == (2, 3, 2, 2)
+
+
+def test_chamfer_vs_bruteforce():
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 50, 3).astype(np.float32)
+    y = rng.randn(2, 70, 3).astype(np.float32)
+    d1, d2, i1, i2 = chamfer_distance(jnp.asarray(x), jnp.asarray(y), chunk=16)
+    D = np.sum((x[0][:, None] - y[0][None]) ** 2, axis=-1)
+    np.testing.assert_allclose(np.asarray(d1)[0], D.min(1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2)[0], D.min(0), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1)[0], D.argmin(1))
+    np.testing.assert_array_equal(np.asarray(i2)[0], D.argmin(0))
+    cd = float(chamfer_metric(jnp.asarray(x), jnp.asarray(y)))
+    want = 0.0
+    for b in range(2):
+        Db = np.sum((x[b][:, None] - y[b][None]) ** 2, axis=-1)
+        want += (Db.min(1).mean() + Db.min(0).mean()) / 2
+    np.testing.assert_allclose(cd, want / 2, rtol=1e-4)
+
+
+def test_chamfer_masked():
+    rng = np.random.RandomState(5)
+    x_full = rng.randn(1, 30, 3).astype(np.float32)
+    y = rng.randn(1, 40, 3).astype(np.float32)
+    x_pad = np.concatenate([x_full, np.full((1, 10, 3), 1e3, np.float32)], axis=1)
+    xm = np.concatenate([np.ones((1, 30), bool), np.zeros((1, 10), bool)], axis=1)
+    got = float(chamfer_metric(jnp.asarray(x_pad), jnp.asarray(y), jnp.asarray(xm), None))
+    want = float(chamfer_metric(jnp.asarray(x_full), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_bev_histogram_parity():
+    import torch
+    from tests.reference_loader import _load, REF
+
+    ref_bev = _load(REF / "lidargen/metrics/bev.py", "ref_bev")
+    rng = np.random.RandomState(6)
+    pts = rng.uniform(-85, 85, (20_000, 3)).astype(np.float32)
+    want = ref_bev.point_cloud_to_histogram(torch.from_numpy(pts)).numpy()
+    got = np.asarray(point_cloud_to_histogram(jnp.asarray(pts)))
+    np.testing.assert_allclose(got, want, atol=1e-3)
