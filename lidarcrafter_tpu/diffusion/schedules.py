@@ -15,6 +15,7 @@ from functools import partial
 from typing import Callable
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def _log(t: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
@@ -100,33 +101,37 @@ def get_log_snr_fn(
 
 
 # --------------------------------------------------------------------- discrete
+# Beta tables depend only on the static step count, so they are computed
+# host-side in numpy float64 (matching the reference's torch.float64 tables,
+# ``discrete_time.py:57-78``) and embedded as constants.
 
 
-def beta_schedule_linear(T: int) -> jnp.ndarray:
-    """cf. ``discrete_time.py:12-17`` (DDPM linear betas scaled by 1000/T)."""
+def beta_schedule_linear(T: int) -> np.ndarray:
+    """cf. ``discrete_time.py:12-19`` (DDPM linear betas scaled by 1000/T)."""
     scale = 1000.0 / T
-    return jnp.linspace(scale * 0.0001, scale * 0.02, T, dtype=jnp.float64)
+    return np.linspace(scale * 0.0001, scale * 0.02, T, dtype=np.float64)
 
 
-def beta_schedule_cosine(T: int, s: float = 0.008) -> jnp.ndarray:
-    """cf. ``discrete_time.py:20-33`` (improved-DDPM cosine alphabar)."""
-    steps = T + 1
-    t = jnp.linspace(0, T, steps, dtype=jnp.float64) / T
-    alphas_cumprod = jnp.cos((t + s) / (1 + s) * math.pi * 0.5) ** 2
+def beta_schedule_cosine(T: int, s: float = 0.008) -> np.ndarray:
+    """cf. ``discrete_time.py:22-31`` (improved-DDPM cosine alphabar)."""
+    t = np.linspace(0, T, T + 1, dtype=np.float64) / T
+    alphas_cumprod = np.cos((t + s) / (1 + s) * math.pi * 0.5) ** 2
     alphas_cumprod = alphas_cumprod / alphas_cumprod[0]
     betas = 1 - (alphas_cumprod[1:] / alphas_cumprod[:-1])
-    return jnp.clip(betas, 0, 0.999)
+    return np.clip(betas, 0, 0.999)
 
 
-def beta_schedule_sigmoid(T: int, start: float = -3, end: float = 3, tau: float = 1.0) -> jnp.ndarray:
-    """cf. ``discrete_time.py:36-48``."""
-    steps = T + 1
-    t = jnp.linspace(0, T, steps, dtype=jnp.float64) / T
-    v_start = 1.0 / (1.0 + math.exp(-start / tau))
-    v_end = 1.0 / (1.0 + math.exp(-end / tau))
-    alphas_cumprod = (-jax_sigmoid((t * (end - start) + start) / tau) + v_end) / (
+def beta_schedule_sigmoid(
+    T: int, start: float = -3, end: float = 3, tau: float = 1.0
+) -> np.ndarray:
+    """cf. ``discrete_time.py:34-48``."""
+    t = np.linspace(0, T, T + 1, dtype=np.float64) / T
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+    v_start = sig(start / tau)
+    v_end = sig(end / tau)
+    alphas_cumprod = (-sig((t * (end - start) + start) / tau) + v_end) / (
         v_end - v_start
     )
     alphas_cumprod = alphas_cumprod / alphas_cumprod[0]
     betas = 1 - (alphas_cumprod[1:] / alphas_cumprod[:-1])
-    return jnp.clip(betas, 0, 0.999)
+    return np.clip(betas, 0, 0.999)

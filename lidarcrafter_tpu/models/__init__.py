@@ -4,7 +4,7 @@ Keys match the reference so configs and checkpoints can drive the TPU backend
 unchanged.  Entries are appended as each family lands.
 """
 
-from .efficient_unet import EfficientUNet, EfficientUNetCond
+from .efficient_unet import EfficientUNet, EfficientUNetCond, MFEfficientUNet
 from .layout_encoder import LayoutTransformerEncoder
 from .layout_unet import LayoutUnetV1
 from .point_unet import ObjectGenEncoder, PointUNet
@@ -14,6 +14,7 @@ from .unet_1d import UNet1DModel
 __all_models__ = {
     "efficient_unet": EfficientUNet,
     "efficient_unet_cond": EfficientUNetCond,
+    "mf_efficient_unet": MFEfficientUNet,
     "layout_encoder": LayoutTransformerEncoder,
     "layout_unet_v1": LayoutUnetV1,
     "unet_1d": UNet1DModel,

@@ -135,7 +135,10 @@ class EfficientUNet(nn.Module):
         temb = TimeEmbedding(self.base_channels, temb_channels, name="time_embedding")(
             timesteps
         )
+        return self.unet_body(h, temb)
 
+    def unet_body(self, h: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+        B = h.shape[0]
         cenc = enc.encode_coords(self.coords(), self.coords_encoding, self.resolution)
         if cenc is not None:
             cenc = jnp.broadcast_to(cenc[None], (B, *cenc.shape)).astype(h.dtype)
@@ -185,3 +188,30 @@ class EfficientUNetCond(EfficientUNet):
     @nn.compact
     def __call__(self, images: jnp.ndarray, condition_dict: dict) -> jnp.ndarray:
         return super().__call__(images, condition_dict["time_condition"])
+
+
+class MFEfficientUNet(EfficientUNet):
+    """Two-time (t, r) UNet for MeanFlow; cf. ``efficient_mf_unet.py:193-315``:
+    identical topology with dual time embeddings summed (:280-315)."""
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        start_timesteps: jnp.ndarray,
+        end_timesteps: jnp.ndarray,
+        condition=None,
+    ) -> jnp.ndarray:
+        B = images.shape[0]
+        if start_timesteps.ndim == 0:
+            start_timesteps = jnp.full((B,), start_timesteps)
+        if end_timesteps.ndim == 0:
+            end_timesteps = jnp.full((B,), end_timesteps)
+        temb_channels = self.temb_channels or self.base_channels * 4
+        start = TimeEmbedding(
+            self.base_channels, temb_channels, name="start_time_embedding"
+        )(start_timesteps)
+        end = TimeEmbedding(
+            self.base_channels, temb_channels, name="end_time_embedding"
+        )(end_timesteps)
+        return self.unet_body(images, start + end)
