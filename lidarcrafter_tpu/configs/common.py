@@ -1,30 +1,30 @@
-"""Unconditional single-frame nuScenes diffusion config.
+"""Shared config dataclasses.
 
-Mirrors ``lidargen/utils/configs/option_unet_nusc.py`` field-for-field (same
-defaults; mixed precision is bf16 — the TPU-native equivalent of the
-reference's fp16 AMP).
+The reference versions its configs as near-duplicate modules
+(``lidargen/utils/configs/option_*.py``); here the shared blocks live once and
+each experiment module composes deltas.  Field names and defaults mirror the
+reference so checkpoint-embedded config dicts rehydrate unchanged.
 """
 
 from dataclasses import dataclass, field
 from typing import Literal, Tuple
 
+CLASS_NAMES = (
+    "car", "truck", "construction_vehicle", "bus", "trailer",
+    "motorcycle", "bicycle", "pedestrian",
+)
+
 
 @dataclass
 class ModelConfig:
     architecture: str = "efficient_unet"
-    params: dict = field(
-        default_factory=lambda: {
-            "base_channels": 64,
-            "temb_channels": None,
-            "channel_multiplier": (1, 2, 4, 8),
-            "num_residual_blocks": (3, 3, 3, 3),
-            "gn_num_groups": 8,
-            "gn_eps": 1e-6,
-            "attn_num_heads": 8,
-            "coords_encoding": "fourier_features",
-            "ring": True,
-        }
-    )
+    params: dict = field(default_factory=dict)
+
+
+@dataclass
+class ConditionModelConfig:
+    architecture: str = "identity"
+    params: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -35,6 +35,24 @@ class DiffusionConfig:
     loss_type: str = "l2"
     noise_schedule: str = "cosine"
     timestep_type: Literal["continuous", "discrete"] = "continuous"
+    cond_mode: str | None = None
+    w_loss_weight: bool = False
+    clip_sample: bool = True
+
+
+@dataclass
+class FlowConfig:
+    """cf. ``option_meanflow_nusc.py`` FlowConfig."""
+
+    flow_type: Literal["mean", "mean_std"] = "mean"
+    channels: int = 2
+    image_size: Tuple[int, int] = (32, 1024)
+    flow_ratio: float = 0.50
+    normalizer: tuple = ("minmax", None, None)
+    time_dist: tuple = ("lognorm", -0.4, 1)
+    cfg_ratio: float = 0.10
+    cfg_scale: float | None = None
+    cfg_unconditional: str = "u"
 
 
 @dataclass
@@ -54,15 +72,19 @@ class TrainingConfig:
     adam_epsilon: float = 1e-8
     ema_decay: float = 0.995
     ema_update_every: int = 10
-    mixed_precision: str = "bf16"  # TPU-native; reference uses fp16 AMP
+    mixed_precision: str = "bf16"  # TPU-native; the reference uses fp16 AMP
     output_dir: str = "logs/diffusion"
     seed: int = 0
 
 
 @dataclass
 class DataConfig:
-    dataset: Literal["kitti_raw", "kitti_360", "nuscenes"] = "nuscenes"
+    dataset: str = "nuscenes"
+    task: str | None = None
+    class_names: Tuple[str, ...] = CLASS_NAMES
+    custom_collate_fn: bool = False
     data_root: str = "../data/nuscenes"
+    pkl_path: str | None = None
     depth_format: Literal["log_depth", "inverse_depth", "depth"] = "log_depth"
     scan_unfolding: bool = False
     projection: str = "spherical-1024"
@@ -74,11 +96,16 @@ class DataConfig:
     fov_up: float = 10.0
     fov_down: float = -30.0
     split: str = "train"
+    delete_ground: bool = False
+    with_object: bool = False
+    num_samples: int = 1024  # object branch point count
 
 
 @dataclass
-class NUSC_Config:
+class ExperimentConfig:
     data: DataConfig = field(default_factory=DataConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
     training: TrainingConfig = field(default_factory=TrainingConfig)
+    condition_model: ConditionModelConfig | None = None
+    flow: FlowConfig | None = None

@@ -1,61 +1,149 @@
-"""Model/engine factory mirroring ``lidargen/utils/inference.py:261-344``.
+"""Model/engine factory mirroring ``lidargen/utils/inference.py``.
 
-``build_diffusion_training(cfg)`` returns ``(model, engine, lidar_utils)`` for
-a named config: the flax denoiser, a :class:`ContinuousDiffusion` engine whose
-``apply_fn`` wraps ``model.apply``, and the LiDAR utility.
+``build_diffusion_training(cfg)`` (cf. ``inference.py:261-344``) handles the
+image-diffusion branches (unconditional + concat-conditioned);
+``build_flow_training`` (cf. ``inference.py:370-393``), ``build_object_training``
+(cf. ``inference.py:346-368`` object variant) and ``build_layout_training``
+cover the MeanFlow / object-point / 1D-layout branches.  Each returns
+``(model(s), engine, lidar_utils)`` with the flax model's ``apply`` wired into
+a pure-function engine.
 """
 
 from __future__ import annotations
 
 from typing import Any
 
-from ..diffusion import ContinuousDiffusion
+from ..diffusion import (
+    CondContinuousDiffusion,
+    ContinuousDiffusion,
+    DiscreteDiffusion,
+    MeanFlow,
+)
 from ..models import build_model
 from ..utils.lidar import LiDARUtility
 
 
-def _in_channels(cfg) -> int:
-    ch = int(cfg.data.train_depth) + int(cfg.data.train_reflectance)
-    if hasattr(cfg, "condition_model") and getattr(cfg.diffusion, "cond_mode", None) == "concat":
-        ch += cfg.condition_model.params["out_channels"]
-    return ch
+def _data_channels(cfg) -> int:
+    return int(cfg.data.train_depth) + int(cfg.data.train_reflectance)
 
 
-def build_diffusion_training(cfg) -> tuple[Any, ContinuousDiffusion, LiDARUtility]:
-    in_channels = _in_channels(cfg)
-    resolution = tuple(cfg.data.resolution)
-
-    model = build_model(
-        cfg.model.architecture,
-        in_channels=in_channels,
-        resolution=resolution,
-        # "spherical" projections use linear ray angles as the coords buffer
-        # (inference.py:281-282); "unfolding" would need precomputed angles.
-        use_ray_angle_coords="spherical" in cfg.data.projection,
-        fov_up=cfg.data.fov_up,
-        fov_down=cfg.data.fov_down,
-        **cfg.model.params,
-    )
-
-    assert cfg.diffusion.timestep_type == "continuous", "discrete engine lands with DiscreteDiffusion"
-
-    def apply_fn(params, x_t, log_snr, **kw):
-        return model.apply(params, x_t, log_snr, **kw)
-
-    engine = ContinuousDiffusion(
-        apply_fn=apply_fn,
-        sampling_shape=(*resolution, in_channels),
-        prediction_type=cfg.diffusion.prediction_type,
-        loss_type=cfg.diffusion.loss_type,
-        noise_schedule=cfg.diffusion.noise_schedule,
-    )
-
-    lidar_utils = LiDARUtility.create(
-        resolution=resolution,
+def _make_lidar_utils(cfg) -> LiDARUtility:
+    return LiDARUtility.create(
+        resolution=tuple(cfg.data.resolution),
         depth_format=cfg.data.depth_format,
         min_depth=cfg.data.min_depth,
         max_depth=cfg.data.max_depth,
         fov_up=cfg.data.fov_up,
         fov_down=cfg.data.fov_down,
     )
-    return model, engine, lidar_utils
+
+
+def _has_cond(cfg) -> bool:
+    return getattr(cfg, "condition_model", None) is not None
+
+
+def build_diffusion_training(cfg) -> tuple[Any, Any, LiDARUtility]:
+    """Image-diffusion branches; returns (models_dict_or_model, engine, utils).
+
+    For conditioned configs the returned model is a dict
+    ``{'model': denoiser, 'cond': condition_encoder}`` and engine params are
+    expected as ``{'model': ..., 'cond': ...}``.
+    """
+    resolution = tuple(cfg.data.resolution)
+    in_channels = _data_channels(cfg)
+    cond_mode = getattr(cfg.diffusion, "cond_mode", None)
+    if _has_cond(cfg) and cond_mode == "concat":
+        in_channels += cfg.condition_model.params["out_channels"]
+
+    model = build_model(
+        cfg.model.architecture,
+        in_channels=in_channels,
+        resolution=resolution,
+        use_ray_angle_coords="spherical" in cfg.data.projection,
+        fov_up=cfg.data.fov_up,
+        fov_down=cfg.data.fov_down,
+        **cfg.model.params,
+    )
+    lidar_utils = _make_lidar_utils(cfg)
+    data_shape = (*resolution, _data_channels(cfg))
+
+    if cfg.diffusion.timestep_type == "discrete":
+        engine = DiscreteDiffusion(
+            apply_fn=lambda p, x, s: model.apply(p, x, s),
+            sampling_shape=data_shape,
+            num_training_steps=cfg.diffusion.num_training_steps,
+            prediction_type=cfg.diffusion.prediction_type,
+            loss_type=cfg.diffusion.loss_type,
+            noise_schedule=cfg.diffusion.noise_schedule,
+        )
+        return model, engine, lidar_utils
+
+    if not _has_cond(cfg):
+        engine = ContinuousDiffusion(
+            apply_fn=lambda p, x, log_snr: model.apply(p, x, log_snr),
+            sampling_shape=data_shape,
+            prediction_type=cfg.diffusion.prediction_type,
+            loss_type=cfg.diffusion.loss_type,
+            noise_schedule=cfg.diffusion.noise_schedule,
+            clip_sample=getattr(cfg.diffusion, "clip_sample", True),
+        )
+        return model, engine, lidar_utils
+
+    cond_model = build_model(
+        cfg.condition_model.architecture, **cfg.condition_model.params
+    )
+    engine = CondContinuousDiffusion(
+        apply_fn=lambda p, x, cd: model.apply(p["model"], x, cd),
+        cond_apply_fn=lambda p, d: cond_model.apply(p["cond"], d),
+        sampling_shape=data_shape,
+        prediction_type=cfg.diffusion.prediction_type,
+        loss_type=cfg.diffusion.loss_type,
+        noise_schedule=cfg.diffusion.noise_schedule,
+        clip_sample=getattr(cfg.diffusion, "clip_sample", True),
+        cond_mode=cond_mode,
+        w_loss_weight=getattr(cfg.diffusion, "w_loss_weight", False),
+    )
+    return {"model": model, "cond": cond_model}, engine, lidar_utils
+
+
+def build_object_training(cfg) -> tuple[dict, CondContinuousDiffusion, LiDARUtility]:
+    """Per-object point diffusion (nuscenes-object); cf. ``inference.py:346-368``
+    and the 1D cond engine ``continuous_time_1d_cond.py:9``."""
+    model = build_model(cfg.model.architecture, **cfg.model.params)
+    cond_model = build_model(
+        cfg.condition_model.architecture, **cfg.condition_model.params
+    )
+    engine = CondContinuousDiffusion(
+        apply_fn=lambda p, x, cd: model.apply(p["model"], x, cd),
+        cond_apply_fn=lambda p, d: cond_model.apply(p["cond"], d),
+        sampling_shape=(cfg.data.num_samples, cfg.model.params["point_dim"]),
+        prediction_type=cfg.diffusion.prediction_type,
+        loss_type=cfg.diffusion.loss_type,
+        noise_schedule=cfg.diffusion.noise_schedule,
+        clip_sample=getattr(cfg.diffusion, "clip_sample", True),
+    )
+    return {"model": model, "cond": cond_model}, engine, _make_lidar_utils(cfg)
+
+
+def build_flow_training(cfg) -> tuple[Any, MeanFlow, LiDARUtility]:
+    """MeanFlow branch (meanflow-nusc); cf. ``inference.py:370-393``."""
+    resolution = tuple(cfg.data.resolution)
+    in_channels = _data_channels(cfg)
+    model = build_model(
+        cfg.model.architecture,
+        in_channels=in_channels,
+        resolution=resolution,
+        use_ray_angle_coords="spherical" in cfg.data.projection,
+        fov_up=cfg.data.fov_up,
+        fov_down=cfg.data.fov_down,
+        **cfg.model.params,
+    )
+    engine = MeanFlow(
+        apply_fn=lambda p, z, t, r: model.apply(p, z, t, r),
+        sampling_shape=(*resolution, in_channels),
+        flow_ratio=cfg.flow.flow_ratio,
+        time_dist=cfg.flow.time_dist[0],
+        time_mu=float(cfg.flow.time_dist[1]),
+        time_sigma=float(cfg.flow.time_dist[2]),
+    )
+    return model, engine, _make_lidar_utils(cfg)
