@@ -1,0 +1,153 @@
+"""Rotated IoU/NMS and EMD auction: analytic + brute-force golden tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lidarcrafter_tpu.ops.emd import emd_auction, emd_metric
+from lidarcrafter_tpu.ops.iou3d import (
+    boxes_iou3d,
+    boxes_iou_bev,
+    boxes_overlap_bev,
+    iou_bev_axis_aligned,
+    nms,
+    paired_boxes_iou3d,
+)
+
+
+def _box(x, y, z, dx, dy, dz, yaw):
+    return [x, y, z, dx, dy, dz, yaw]
+
+
+def test_overlap_axis_aligned_cases():
+    a = jnp.asarray([_box(0, 0, 0, 2, 2, 2, 0.0)])
+    b = jnp.asarray(
+        [
+            _box(0, 0, 0, 2, 2, 2, 0.0),      # identical → overlap 4
+            _box(1, 0, 0, 2, 2, 2, 0.0),      # half shift → 2
+            _box(1, 1, 0, 2, 2, 2, 0.0),      # quarter → 1
+            _box(5, 5, 0, 2, 2, 2, 0.0),      # disjoint → 0
+        ]
+    )
+    got = np.asarray(boxes_overlap_bev(a, b))[0]
+    np.testing.assert_allclose(got, [4.0, 2.0, 1.0, 0.0], atol=1e-5)
+
+
+def test_overlap_rotated_45():
+    """Unit square vs the same square rotated 45°: intersection is a regular
+    octagon with area 8(√2−1) for side 2... use side-2 squares:
+    area = 2·dx²·(√2−1) where dx=2 → analytic 8(√2−1)/... verify via
+    Monte-Carlo instead (robust to my algebra)."""
+    a = jnp.asarray([_box(0, 0, 0, 2, 2, 2, 0.0)])
+    b = jnp.asarray([_box(0, 0, 0, 2, 2, 2, np.pi / 4)])
+    got = float(boxes_overlap_bev(a, b)[0, 0])
+    # Monte-Carlo estimate
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-1.5, 1.5, (200_000, 2))
+    in_a = (np.abs(pts) <= 1.0).all(axis=1)
+    c, s = np.cos(-np.pi / 4), np.sin(-np.pi / 4)
+    rot = pts @ np.array([[c, -s], [s, c]]).T
+    in_b = (np.abs(rot) <= 1.0).all(axis=1)
+    mc = (in_a & in_b).mean() * 9.0
+    assert abs(got - mc) < 0.02
+    # symmetric
+    got_t = float(boxes_overlap_bev(b, a)[0, 0])
+    np.testing.assert_allclose(got, got_t, rtol=1e-5)
+
+
+def test_iou3d_height_and_volume():
+    a = jnp.asarray([_box(0, 0, 0, 2, 2, 2, 0.0)])
+    b = jnp.asarray([_box(0, 0, 1, 2, 2, 2, 0.0)])  # half height overlap
+    got = float(boxes_iou3d(a, b)[0, 0])
+    # inter = 4 (bev) * 1 (h) = 4; union = 8 + 8 - 4 = 12
+    np.testing.assert_allclose(got, 4 / 12, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(paired_boxes_iou3d(a, b)[0]), 4 / 12, rtol=1e-5
+    )
+
+
+def test_iou_bev_identity_and_containment():
+    a = jnp.asarray([_box(0, 0, 0, 4, 4, 2, 0.3)])
+    b = jnp.asarray([_box(0, 0, 0, 2, 2, 2, 0.3)])  # contained → inter 4, union 16
+    np.testing.assert_allclose(float(boxes_iou_bev(a, a)[0, 0]), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(float(boxes_iou_bev(a, b)[0, 0]), 4 / 16, rtol=1e-4)
+
+
+def test_nms_greedy():
+    boxes = jnp.asarray(
+        [
+            _box(0, 0, 0, 2, 2, 2, 0.0),
+            _box(0.1, 0, 0, 2, 2, 2, 0.0),   # heavy overlap w/ box 0
+            _box(10, 0, 0, 2, 2, 2, 0.0),    # far away
+            _box(10.1, 0, 0, 2, 2, 2, 0.0),  # heavy overlap w/ box 2
+        ]
+    )
+    scores = jnp.asarray([0.9, 0.8, 0.95, 0.5])
+    order, keep = nms(boxes, scores, thresh=0.5)
+    kept = np.asarray(order)[np.asarray(keep)]
+    assert set(kept.tolist()) == {0, 2}
+    # axis-aligned variant agrees for unrotated boxes
+    order_n, keep_n = nms(boxes, scores, thresh=0.5, normal=True)
+    assert set(np.asarray(order_n)[np.asarray(keep_n)].tolist()) == {0, 2}
+
+
+def test_nms_respects_mask():
+    boxes = jnp.asarray([_box(0, 0, 0, 2, 2, 2, 0.0), _box(10, 0, 0, 2, 2, 2, 0.0)])
+    scores = jnp.asarray([0.9, 0.8])
+    mask = jnp.asarray([True, False])
+    order, keep = nms(boxes, scores, 0.5, box_mask=mask)
+    kept = np.asarray(order)[np.asarray(keep)]
+    assert kept.tolist() == [0]
+
+
+def test_iou_axis_aligned():
+    a = jnp.asarray([_box(0, 0, 0, 2, 2, 2, 1.0)])  # rotation ignored
+    b = jnp.asarray([_box(1, 0, 0, 2, 2, 2, 2.0)])
+    np.testing.assert_allclose(
+        float(iou_bev_axis_aligned(a, b)[0, 0]), 2 / 6, rtol=1e-5
+    )
+
+
+# ------------------------------------------------------------------ EMD
+
+
+def test_emd_identical_clouds():
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 128, 3).astype(np.float32)
+    d2, assign = emd_auction(jnp.asarray(x), jnp.asarray(x), eps=0.002, iters=50)
+    # identical clouds: near-perfect matching → tiny distances
+    assert float(jnp.sqrt(d2).mean()) < 0.02
+
+
+def test_emd_known_permutation():
+    """x2 is a permutation of x1 → optimal EMD is 0; auction should find ≈0."""
+    rng = np.random.RandomState(1)
+    x1 = rng.rand(1, 64, 3).astype(np.float32)
+    perm = rng.permutation(64)
+    x2 = x1[:, perm]
+    d2, assign = emd_auction(jnp.asarray(x1), jnp.asarray(x2), eps=0.001, iters=100)
+    assert float(jnp.sqrt(d2).mean()) < 0.02
+
+
+def test_emd_translation_lower_bound():
+    """Cloud shifted by delta: EMD ≥ ~|delta| (can't beat pure translation)."""
+    rng = np.random.RandomState(2)
+    x1 = rng.rand(1, 64, 3).astype(np.float32) * 0.5
+    x2 = x1 + np.array([0.3, 0, 0], np.float32)
+    val = float(emd_metric(jnp.asarray(x1), jnp.asarray(x2), eps=0.002, iters=100))
+    assert 0.25 < val < 0.4
+
+
+def test_emd_batched_and_shapes():
+    rng = np.random.RandomState(3)
+    x1 = rng.rand(3, 32, 3).astype(np.float32)
+    x2 = rng.rand(3, 32, 3).astype(np.float32)
+    d2, assign = emd_auction(jnp.asarray(x1), jnp.asarray(x2), iters=20)
+    assert d2.shape == (3, 32) and assign.shape == (3, 32)
+    assert (np.asarray(assign) >= 0).all() and (np.asarray(assign) < 32).all()
+    # distances consistent with assignment
+    got = np.asarray(d2)[0]
+    want = np.sum((x1[0] - x2[0][np.asarray(assign)[0]]) ** 2, axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
