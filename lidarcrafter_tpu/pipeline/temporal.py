@@ -1,0 +1,203 @@
+"""Autoregressive 4D sequence rollout — the flagship pipeline.
+
+Re-designs ``tools/evaluation/sample_and_save_temporal.py:27-335`` (§3.4 of
+SURVEY.md): layout-conditioned first frame, then 15 autoregressive steps where
+the previous generation is warped by ego motion, foreground objects are
+replayed at their future boxes, and the result conditions the next frame.
+
+The reference round-trips device↔host every step
+(``sample_and_save_temporal.py:236,321``); here each step is composed of
+jitted fixed-shape ops (warp → fg replay → projection → conditioning →
+``lax.scan`` sampling), so only the final sequence leaves the device.
+
+Trajectory/box precomputation (tiny, host-side numpy) mirrors
+``pipe_related.get_temporal_boxes_3d`` (:28-95).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..datasets import rollout as R
+from ..datasets import transforms as T
+from ..ops.projection import convert_boxes_to_2d, points_to_range_image
+from ..training.preprocess import (
+    postprocess_sample,
+    preprocess_autoregressive_cond,
+    preprocess_condition_mask,
+)
+from ..utils.lidar import LiDARUtility
+
+
+@dataclasses.dataclass
+class TemporalRollout:
+    """Drives layout-cond frame-0 + autoregressive continuation.
+
+    ``cond_engine`` / ``cond_params``: the layout-conditioned frame generator
+    (nuscenes-box-layout-*); ``autoreg_engine`` / ``autoreg_params``: the
+    autoregressive generator (nuscenes-auto-reg-v2).
+    """
+
+    cond_engine: Any
+    cond_params: Any
+    autoreg_engine: Any
+    autoreg_params: Any
+    lidar_utils: LiDARUtility
+    num_classes: int = 8
+    max_points: int = 32 * 1024
+    max_points_per_obj: int = 512
+    num_sampling_steps: int = 256
+    sampling_mode: str = "ddpm"
+
+    # ----------------------------------------------------------- per-frame ops
+
+    def _project(self, points: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        H, W = self.lidar_utils.resolution
+        return points_to_range_image(
+            points,
+            mask,
+            H=H,
+            W=W,
+            min_depth=self.lidar_utils.min_depth,
+            max_depth=self.lidar_utils.max_depth,
+        )
+
+    def _frame_condition(self, boxes_with_class: jnp.ndarray, box_mask: jnp.ndarray):
+        """Future boxes → concat-cond channels; cf. ``CustomDataset`` path
+        (``pipe_related.get_mask_cond`` → ``pre_process``)."""
+        H, W = self.lidar_utils.resolution
+        _, condition_mask, loss_weight = convert_boxes_to_2d(
+            boxes_with_class, box_mask, H=H, W=W
+        )
+        batch = {"condition_mask": condition_mask[None]}
+        return preprocess_condition_mask(batch, self.lidar_utils, self.num_classes)
+
+    def generate_first_frame(self, batch: dict, rng: jax.Array) -> jnp.ndarray:
+        """Layout-conditioned frame 0; cf. ``sample_and_save_temporal.py:222-230``."""
+        return self.cond_engine.sample(
+            self.cond_params,
+            rng,
+            batch,
+            batch_size=batch["concat_cond"].shape[0],
+            num_steps=self.num_sampling_steps,
+            mode=self.sampling_mode,
+        )
+
+    def generate_next_frame(
+        self, autoregressive_cond: jnp.ndarray, layout_batch: dict, rng: jax.Array
+    ) -> jnp.ndarray:
+        """One autoregressive step; cf. ``:179-193``."""
+        batch = dict(layout_batch)
+        batch["autoregressive_cond"] = autoregressive_cond
+        return self.autoreg_engine.sample(
+            self.autoreg_params,
+            rng,
+            batch,
+            batch_size=autoregressive_cond.shape[0],
+            num_steps=self.num_sampling_steps,
+            mode=self.sampling_mode,
+        )
+
+    def image_to_points(self, sample: jnp.ndarray):
+        """Generated image → padded (N, 4) cloud + mask."""
+        post = postprocess_sample(sample, self.lidar_utils)
+        xyz = post["xyz"][0].reshape(-1, 3)
+        refl = post.get("reflectance")
+        inten = (
+            (refl[0].reshape(-1, 1) * 255.0)
+            if refl is not None
+            else jnp.zeros((xyz.shape[0], 1))
+        )
+        pts = jnp.concatenate([xyz, inten], axis=1)
+        mask = jnp.linalg.norm(xyz, axis=1) > 1e-2
+        # drop ego-radius points (cf. pipe_related.remove_ego_points)
+        mask &= ~((jnp.abs(pts[:, 0]) < 2.0) & (jnp.abs(pts[:, 1]) < 2.0))
+        return pts, mask
+
+    # --------------------------------------------------------------- rollout
+
+    def rollout(
+        self,
+        first_frame_batch: dict,
+        gt_fut_trajs: np.ndarray,
+        boxes0: np.ndarray,
+        box_names_classes: np.ndarray,
+        rng: jax.Array,
+        num_frames: int = 15,
+        interp_M: int | None = 16,
+    ) -> list[np.ndarray]:
+        """Full sequence; cf. ``sample_and_save_temporal.py:203-335``.
+
+        ``gt_fut_trajs``: (K+1, 6, 2) per-agent future deltas (row 0 = ego);
+        ``boxes0``: (K, 7) current object boxes; ``box_names_classes``: (K,)
+        float class values for the condition mask.  Returns the list of
+        generated clouds (frame 0 + num_frames), host-side.
+        """
+        # --- host precompute (tiny): trajectories, future boxes, transforms
+        ego_traj, obj_traj = R.expand_future_trajs(gt_fut_trajs, M=interp_M)
+        fut_boxes = np.asarray(
+            R.warp_boxes_future(
+                jnp.asarray(boxes0, jnp.float32),
+                jnp.asarray(obj_traj, jnp.float32),
+                jnp.asarray(ego_traj, jnp.float32),
+            )
+        )  # (K, T, 7)
+        Ts = R.compute_inter_frame_transforms(ego_traj)  # (T, 4, 4)
+        Tsteps = min(num_frames, fut_boxes.shape[1])
+        K = boxes0.shape[0]
+        box_mask = jnp.ones((K,), bool)
+
+        # --- frame 0
+        rng, r0 = jax.random.split(rng)
+        sample = self.generate_first_frame(first_frame_batch, r0)
+        frames = [sample]
+        pts, mask = self.image_to_points(sample)
+
+        # pad to static size
+        N = pts.shape[0]
+        for t_id in range(Tsteps):
+            # fg/bg split on the current generation
+            boxes_t = (
+                jnp.asarray(boxes0, jnp.float32)
+                if t_id == 0
+                else jnp.asarray(fut_boxes[:, t_id - 1], jnp.float32)
+            )
+            bg_mask, obj_pts, obj_mask = R.split_foreground_background(
+                pts, mask, boxes_t, box_mask, max_points_per_obj=self.max_points_per_obj
+            )
+            # warp background into the next frame
+            bg_next = R.transform_points_homogeneous(pts, jnp.asarray(Ts[t_id]))
+            next_boxes = jnp.asarray(fut_boxes[:, t_id], jnp.float32)
+            # remove anything inside the next-frame boxes from the warped bg
+            bg_next_mask = R.delete_fg_points_mask(bg_next, bg_mask, next_boxes, box_mask)
+            # replay foreground at the future boxes
+            fg_pts, fg_mask = R.replay_objects(obj_pts, obj_mask, next_boxes, box_mask)
+            all_pts = jnp.concatenate([bg_next, fg_pts.reshape(-1, 4)], axis=0)
+            all_mask = jnp.concatenate([bg_next_mask, fg_mask.reshape(-1)], axis=0)
+
+            # condition image for the next frame
+            img = self._project(all_pts, all_mask)
+            depth = img[..., 4:5] * img[..., 5:6]
+            refl = img[..., 3:4] / 255.0 * img[..., 5:6]
+            cond = jnp.concatenate([depth, refl], axis=-1)[None]
+            autoreg_cond = preprocess_autoregressive_cond(cond, self.lidar_utils)
+
+            boxes_cls = jnp.concatenate(
+                [next_boxes, jnp.asarray(box_names_classes, jnp.float32)[:, None]],
+                axis=1,
+            )
+            layout_batch = dict(first_frame_batch)
+            layout_batch["concat_cond"] = self._frame_condition(boxes_cls, box_mask)
+
+            rng, rt = jax.random.split(rng)
+            sample = self.generate_next_frame(autoreg_cond, layout_batch, rt)
+            frames.append(sample)
+            pts, mask = self.image_to_points(sample)
+
+        return [np.asarray(f) for f in frames]

@@ -147,3 +147,49 @@ def build_flow_training(cfg) -> tuple[Any, MeanFlow, LiDARUtility]:
         time_sigma=float(cfg.flow.time_dist[2]),
     )
     return model, engine, _make_lidar_utils(cfg)
+
+
+def build_layout_training(cfg, num_objs: int = 9, num_preds: int = 16):
+    """1D layout diffusion branch (nuscenes-layout): UNet1D + SceneGraph GCN.
+
+    cf. ``inference.py:346-368`` (load_model_layout_duffusion_training); the
+    scene-graph vocab sizes are injected from the dataset in the reference
+    (``generate_layout.py:23``) and passed explicitly here.
+
+    Note: the GCN's BatchNorm runs in running-average mode inside the jitted
+    engine; train-time batch-stat updates are wired via the ``batch_stats``
+    collection when training this branch.
+    """
+    from ..diffusion.layout import CondLayoutDiffusion
+
+    model = build_model(cfg.model.architecture, **cfg.model.params)
+    cond_model = build_model(
+        cfg.condition_model.architecture,
+        num_objs=num_objs,
+        num_preds=num_preds,
+        **cfg.condition_model.params,
+    )
+
+    def cond_apply(params, sg, rng):
+        return cond_model.apply(
+            params["cond"],
+            sg["objs"],
+            sg["triples"],
+            sg["text_feats"],
+            sg["rel_feats"],
+            added_mask=sg.get("added_mask"),
+            manipulated_mask=sg.get("manipulated_mask"),
+            edge_mask=sg.get("edge_mask"),
+            rng=rng,
+        )
+
+    engine = CondLayoutDiffusion(
+        apply_fn=lambda p, x, cd: model.apply(p["model"], x, cd),
+        cond_apply_fn=cond_apply,
+        sampling_shape=(cfg.model.params.get("in_channels", 20),),
+        prediction_type=cfg.diffusion.prediction_type,
+        loss_type=cfg.diffusion.loss_type,
+        noise_schedule=cfg.diffusion.noise_schedule,
+        clip_sample=getattr(cfg.diffusion, "clip_sample", True),
+    )
+    return {"model": model, "cond": cond_model}, engine, _make_lidar_utils(cfg)
