@@ -1,0 +1,168 @@
+"""Training loop driver.
+
+Replaces the reference's per-workload scripts (``tools/train/train_lidm.py:38``,
+``train_lidm_cond.py:31`` — one Accelerate/DDP loop each) with a single
+:class:`Trainer` parameterized by the named config: factory → optax → jitted
+train step on the dp/sp mesh → EMA → periodic orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import batch_sharding, make_mesh, replicated_sharding
+from .checkpoint import save_checkpoint
+from .factory import build_diffusion_training
+from .optim import make_optimizer
+from .preprocess import preprocess_autoregressive_cond, preprocess_condition_mask, preprocess_x0
+from .state import TrainState
+from .train_step import make_train_step
+
+
+class Trainer:
+    """Unconditional / concat-conditioned diffusion trainer.
+
+    ``data_iter`` yields collated numpy batches (NuscDataset.collate_fn
+    format); conditioning channels are derived on-device per step.
+    """
+
+    def __init__(
+        self,
+        cfg,
+        data_iter: Iterator[dict],
+        mesh=None,
+        output_dir: str | None = None,
+        log_fn: Callable[[dict], None] | None = print,
+    ):
+        self.cfg = cfg
+        self.data_iter = data_iter
+        self.log_fn = log_fn
+        self.output_dir = Path(output_dir or cfg.training.output_dir)
+        self.models, self.engine, self.lidar_utils = build_diffusion_training(cfg)
+        self.is_cond = isinstance(self.models, dict)
+        self.mesh = mesh if mesh is not None else make_mesh(sp=1)
+
+        self.tx = make_optimizer(
+            lr=cfg.training.lr,
+            warmup_steps=cfg.training.lr_warmup_steps,
+            num_steps=cfg.training.num_steps,
+            b1=cfg.training.adam_beta1,
+            b2=cfg.training.adam_beta2,
+            eps=cfg.training.adam_epsilon,
+            weight_decay=cfg.training.adam_weight_decay,
+        )
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        H, W = self.cfg.data.resolution
+        if self.is_cond:
+            cond_model = self.models["cond"]
+            model = self.models["model"]
+            L = self.cfg.condition_model.params.get("layout_length", 13)
+            cond_in = {
+                "scaled_gt_boxes": jnp.zeros((1, L, 9)),
+                "gt_boxes_2d": jnp.zeros((1, L, 4)),
+                "is_valid_obj": jnp.ones((1, L)),
+                "concat_cond": jnp.zeros(
+                    (1, H, W, self.cfg.condition_model.params["out_channels"])
+                ),
+            }
+            r1, r2 = jax.random.split(rng)
+            cond_params = cond_model.init(r1, cond_in)
+            layout = cond_model.apply(cond_params, cond_in)
+            cd = {"time_condition": jnp.zeros((1,)), "other_condition": layout}
+            model_params = model.init(r1, jnp.zeros((1, H, W, 2)), cd)
+            params = {"model": model_params, "cond": cond_params}
+        else:
+            params = self.models.init(
+                rng, jnp.zeros((1, H, W, 2)), jnp.zeros((1,))
+            )
+        return TrainState.create(params, self.tx)
+
+    # ------------------------------------------------------------ batch prep
+
+    def prepare_batch(self, batch: dict) -> Any:
+        """Numpy collated batch → engine input; cf.
+        ``train_lidm_cond.py:259-283``."""
+        jb = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if isinstance(v, np.ndarray)
+        }
+        x_0 = preprocess_x0(
+            jb, self.lidar_utils,
+            self.cfg.data.train_depth, self.cfg.data.train_reflectance,
+        )
+        if not self.is_cond:
+            return x_0
+        input_dict = dict(jb)
+        input_dict["x_0"] = x_0
+        if "condition_mask" in jb:
+            input_dict["concat_cond"] = preprocess_condition_mask(
+                jb, self.lidar_utils, len(self.cfg.data.class_names)
+            )
+        if "autoregressive_cond" in jb:
+            input_dict["autoregressive_cond"] = preprocess_autoregressive_cond(
+                jb["autoregressive_cond"], self.lidar_utils,
+                include_reflectance=False,
+            )
+        return input_dict
+
+    # ------------------------------------------------------------------ run
+
+    def train(
+        self,
+        num_steps: int | None = None,
+        rng: jax.Array | None = None,
+        state: TrainState | None = None,
+        checkpoint_every: int | None = None,
+    ) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.training.seed)
+        num_steps = num_steps or self.cfg.training.num_steps
+        checkpoint_every = checkpoint_every or self.cfg.training.steps_save_model
+
+        if state is None:
+            state = self.init_state(rng)
+        state = jax.device_put(state, replicated_sharding(self.mesh))
+
+        step_fn = make_train_step(
+            self.engine,
+            self.tx,
+            ema_beta=self.cfg.training.ema_decay,
+            ema_update_every=self.cfg.training.ema_update_every,
+            ema_update_after_step=self.cfg.training.lr_warmup_steps
+            * self.cfg.training.gradient_accumulation_steps,
+        )
+
+        t0 = time.perf_counter()
+        while int(jax.device_get(state.step)) < num_steps:
+            batch = next(self.data_iter)
+            prepared = self.prepare_batch(batch)
+            prepared = jax.tree_util.tree_map(
+                lambda a: jax.device_put(
+                    a, batch_sharding(self.mesh, getattr(a, "ndim", 1))
+                ),
+                prepared,
+            )
+            state, loss = step_fn(state, prepared, rng)
+            step = int(jax.device_get(state.step))
+            if self.log_fn is not None and (step % 50 == 0 or step <= 2):
+                self.log_fn(
+                    {
+                        "step": step,
+                        "loss": float(jax.device_get(loss)),
+                        "sec_per_step": (time.perf_counter() - t0) / max(step, 1),
+                    }
+                )
+            if checkpoint_every and step % checkpoint_every == 0:
+                save_checkpoint(
+                    str(self.output_dir / f"ckpt_{step:010d}"), state, self.cfg
+                )
+        return state

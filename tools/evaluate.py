@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Metric suite over generated vs. reference clouds; mirrors
+``tools/evaluation/evaluate_our.py`` CLI shape.
+
+Usage: python tools/evaluate.py --real DIR --gen DIR -m cd jsd mmd
+Point files: .txt (N,>=3) or .npy.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _load_dir(d, limit=None):
+    import numpy as np
+
+    files = sorted(Path(d).glob("*.txt")) + sorted(Path(d).glob("*.npy"))
+    if limit:
+        files = files[:limit]
+    out = []
+    for f in files:
+        arr = np.load(f) if f.suffix == ".npy" else np.loadtxt(f)
+        out.append(arr[:, :3].astype(np.float32))
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--real", required=True)
+    parser.add_argument("--gen", required=True)
+    parser.add_argument("-m", "--metrics", nargs="+", default=["cd", "jsd", "mmd"])
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--data", default="32", choices=["32", "64"])
+    parser.add_argument("-o", "--output", default=None)
+    args = parser.parse_args()
+
+    from lidarcrafter_tpu.metrics import evaluate
+
+    real = _load_dir(args.real, args.limit)
+    gen = _load_dir(args.gen, args.limit)
+    results = evaluate(real, gen, metrics=args.metrics, data=args.data)
+    if args.output:
+        import json
+
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

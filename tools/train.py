@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Train a named experiment; mirrors ``tools/train/train_lidm*.py`` CLIs.
+
+Usage: python tools/train.py -c nuscenes-unet-uncond [--num-steps N] [...]
+
+One driver covers the per-workload scripts of the reference (unconditional,
+layout-conditioned, autoregressive) — the config name selects the branch.
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def synthetic_batches(cfg):
+    """Fallback batch source when no nuScenes data is mounted: random range
+    images with valid structure (for smoke/bring-up runs only)."""
+    import numpy as np
+
+    H, W = cfg.data.resolution
+    B = cfg.training.batch_size_train
+    rng = np.random.RandomState(cfg.training.seed)
+    while True:
+        depth = rng.uniform(0, 60, (B, H, W, 1)).astype(np.float32)
+        batch = {
+            "depth": depth,
+            "reflectance": rng.rand(B, H, W, 1).astype(np.float32),
+            "mask": (depth > 1.45).astype(np.float32),
+        }
+        yield batch
+
+
+def real_batches(cfg):
+    from lidarcrafter_tpu.datasets import __all_datasets__
+
+    ds = __all_datasets__[cfg.data.dataset](cfg)
+    import numpy as np
+
+    B = cfg.training.batch_size_train
+    order = np.random.permutation(len(ds))
+    while True:
+        for i in range(0, len(order) - B + 1, B):
+            yield ds.collate_fn([ds[j] for j in order[i : i + B]])
+        order = np.random.permutation(len(ds))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--cfg", default="nuscenes-unet-uncond")
+    parser.add_argument("-b", "--batch_size", type=int, default=None)
+    parser.add_argument("--num-steps", type=int, default=None)
+    parser.add_argument("--output-dir", default=None)
+    parser.add_argument("--synthetic-data", action="store_true")
+    parser.add_argument("--sp", type=int, default=1, help="azimuth-parallel mesh axis")
+    args = parser.parse_args()
+
+    from lidarcrafter_tpu.configs import get_config
+    from lidarcrafter_tpu.parallel import make_mesh
+    from lidarcrafter_tpu.training.loop import Trainer
+
+    cfg = get_config(args.cfg)
+    if args.batch_size:
+        cfg.training.batch_size_train = args.batch_size
+
+    data = synthetic_batches(cfg) if args.synthetic_data else real_batches(cfg)
+    trainer = Trainer(
+        cfg, data, mesh=make_mesh(sp=args.sp), output_dir=args.output_dir
+    )
+    trainer.train(num_steps=args.num_steps)
+
+
+if __name__ == "__main__":
+    main()
