@@ -1,0 +1,159 @@
+"""PyTorch checkpoint ingestion: reference state_dicts → flax param pytrees.
+
+The reference hosts pretrained ``.pth`` checkpoints whose dicts embed the
+config and both online/EMA weights (``train_lidm.py:249-259``); loaders pick
+``weights`` vs ``ema_weights`` (``inference.py:75``).  This module maps those
+state_dicts onto our flax trees so existing checkpoints drive the TPU backend
+unchanged (BASELINE.json requirement).
+
+Conversions: Conv2d (O,I,Kh,Kw) → (Kh,Kw,I,O); Linear (O,I) → (I,O); packed
+torch ``MultiheadAttention`` in_proj → per-head flax query/key/value kernels.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+
+def _conv(w):  # torch OIHW → flax HWIO
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _linear(w):  # torch (O, I) → flax (I, O)
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def _mha(in_proj_w, in_proj_b, out_w, out_b, num_heads):
+    """torch packed MHA → flax MultiHeadDotProductAttention params."""
+    C = in_proj_w.shape[1]
+    dh = C // num_heads
+    qw, kw, vw = (np.asarray(in_proj_w[i * C : (i + 1) * C]) for i in range(3))
+    qb, kb, vb = (np.asarray(in_proj_b[i * C : (i + 1) * C]) for i in range(3))
+
+    def head_kernel(w):  # (C_out, C_in) → (C_in, heads, dh)
+        return _linear(w).reshape(C, num_heads, dh)
+
+    def head_bias(b):
+        return b.reshape(num_heads, dh)
+
+    return {
+        "query": {"kernel": head_kernel(qw), "bias": head_bias(qb)},
+        "key": {"kernel": head_kernel(kw), "bias": head_bias(kb)},
+        "value": {"kernel": head_kernel(vw), "bias": head_bias(vb)},
+        "out": {
+            "kernel": np.asarray(out_w).T.reshape(num_heads, dh, C),
+            "bias": np.asarray(out_b),
+        },
+    }
+
+
+def strip_prefix(state_dict: Mapping, prefix: str) -> dict:
+    return {
+        k[len(prefix) :]: v for k, v in state_dict.items() if k.startswith(prefix)
+    }
+
+
+def convert_efficient_unet(
+    state_dict: Mapping[str, "np.ndarray"], attn_num_heads: int = 8
+) -> dict:
+    """Reference ``EfficientUNet`` state_dict → flax params for
+    :class:`lidarcrafter_tpu.models.efficient_unet.EfficientUNet`.
+
+    Accepts the raw module state_dict (tensors or numpy); strip engine
+    prefixes (e.g. ``model.``) with :func:`strip_prefix` first.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out: dict = {}
+
+    def put(path: str, leaf):
+        node = out
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(leaf, np.float32)
+
+    # time embedding (Sequential indices 1 and 3)
+    for ref_i, ours in (("1", "Dense_0"), ("3", "Dense_1")):
+        put(f"time_embedding/{ours}/kernel", _linear(sd[f"time_embedding.{ref_i}.weight"]))
+        put(f"time_embedding/{ours}/bias", sd[f"time_embedding.{ref_i}.bias"])
+
+    put("in_conv/Conv_0/kernel", _conv(sd["in_conv.weight"]))
+    put("in_conv/Conv_0/bias", sd["in_conv.bias"])
+    put("out_conv/Conv_0/kernel", _conv(sd["out_conv.weight"]))
+    put("out_conv/Conv_0/bias", sd["out_conv.bias"])
+
+    blocks = sorted(
+        {m.group(1) for k in sd for m in [re.match(r"([du]_block\d)\.", k)] if m}
+    )
+    for blk in blocks:
+        b = strip_prefix(sd, blk + ".")
+        if f"downsample.0.weight" in b:
+            put(f"{blk}/down_conv/Conv_0/kernel", _conv(b["downsample.0.weight"]))
+            put(f"{blk}/down_conv/Conv_0/bias", b["downsample.0.bias"])
+        if f"upsample.1.weight" in b:
+            put(f"{blk}/up_conv/Conv_0/kernel", _conv(b["upsample.1.weight"]))
+            put(f"{blk}/up_conv/Conv_0/bias", b["upsample.1.bias"])
+        res_ids = sorted(
+            {m.group(1) for k in b for m in [re.match(r"residual_blocks\.(\d+)\.", k)] if m}
+        )
+        for j in res_ids:
+            r = strip_prefix(b, f"residual_blocks.{j}.")
+            base = f"{blk}/res{j}"
+            put(f"{base}/GroupNorm_0/scale", r["norm1.weight"])
+            put(f"{base}/GroupNorm_0/bias", r["norm1.bias"])
+            put(f"{base}/conv1/Conv_0/kernel", _conv(r["conv1.weight"]))
+            put(f"{base}/conv1/Conv_0/bias", r["conv1.bias"])
+            put(f"{base}/norm2/Dense_0/kernel", _linear(r["norm2.proj.1.weight"]))
+            put(f"{base}/norm2/Dense_0/bias", r["norm2.proj.1.bias"])
+            put(f"{base}/conv2/Conv_0/kernel", _conv(r["conv2.weight"]))
+            put(f"{base}/conv2/Conv_0/bias", r["conv2.bias"])
+            if "skip.weight" in r:
+                put(f"{base}/skip/Conv_0/kernel", _conv(r["skip.weight"]))
+                put(f"{base}/skip/Conv_0/bias", r["skip.bias"])
+        if "self_attn_block.norm.weight" in b:
+            a = strip_prefix(b, "self_attn_block.")
+            put(f"{blk}/attn/GroupNorm_0/scale", a["norm.weight"])
+            put(f"{blk}/attn/GroupNorm_0/bias", a["norm.bias"])
+            mha = _mha(
+                a["attn.in_proj_weight"], a["attn.in_proj_bias"],
+                a["attn.out_proj.weight"], a["attn.out_proj.bias"],
+                attn_num_heads,
+            )
+            base = f"{blk}/attn/MultiHeadDotProductAttention_0"
+            for mod, leaves in mha.items():
+                for leaf, val in leaves.items():
+                    put(f"{base}/{mod}/{leaf}", val)
+    return {"params": out}
+
+
+def load_torch_checkpoint(path: str, use_ema: bool = True) -> tuple[dict, dict]:
+    """Load a reference ``.pth`` → (state_dict, cfg dict); cf.
+    ``inference.py:36-38,75``."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    key = "ema_weights" if (use_ema and "ema_weights" in ckpt) else "weights"
+    sd = {k: v.numpy() for k, v in ckpt[key].items()}
+    return sd, ckpt.get("cfg", {})
+
+
+def ingest_efficient_unet_checkpoint(path: str, use_ema: bool = True):
+    """One-call ingestion for the flagship model: returns (flax_params, cfg).
+
+    The reference wraps the denoiser in the diffusion engine; its state_dict
+    keys carry a ``model.`` prefix (EMA adds ``ema_model.``) — both handled.
+    """
+    sd, cfg = load_torch_checkpoint(path, use_ema)
+    for prefix in ("ema_model.model.", "model.", ""):
+        sub = strip_prefix(sd, prefix) if prefix else sd
+        if any(k.startswith("in_conv.") for k in sub):
+            heads = (
+                cfg.get("model", {}).get("params", {}).get("attn_num_heads", 8)
+                if isinstance(cfg, dict)
+                else 8
+            )
+            return convert_efficient_unet(sub, attn_num_heads=heads), cfg
+    raise ValueError("could not locate EfficientUNet weights in checkpoint")
