@@ -4,6 +4,7 @@ Keys match the reference so configs and checkpoints can drive the TPU backend
 unchanged.  Entries are appended as each family lands.
 """
 
+from .hdit import HDiT
 from .efficient_unet import EfficientUNet, EfficientUNetCond, MFEfficientUNet
 from .layout_encoder import LayoutTransformerEncoder
 from .layout_unet import LayoutUnetV1
@@ -21,6 +22,7 @@ __all_models__ = {
     "scene_graph": SceneGraph,
     "object_gen_encoder": ObjectGenEncoder,
     "point_unet": PointUNet,
+    "hdit": HDiT,
 }
 
 
