@@ -1,0 +1,2 @@
+from .pointnet import PointNetFeatureExtractor, convert_pointnet_state_dict  # noqa: F401
+from .pointmlp import PointMLP, point_mlp, point_mlp_elite  # noqa: F401

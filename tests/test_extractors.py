@@ -1,0 +1,58 @@
+"""Extractor parity: torch reference PointNet vs converted flax model."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from lidarcrafter_tpu.metrics.extractor import (
+    PointNetFeatureExtractor,
+    convert_pointnet_state_dict,
+)
+from tests.reference_loader import REF, _load
+
+ref_pn = _load(REF / "lidargen/metrics/extractor/pointnet.py", "ref_pointnet")
+
+
+def test_pointnet_forward_parity():
+    torch.manual_seed(0)
+    tmodel = ref_pn.PointNet1(k=16).eval()
+    # randomize BN running stats so the parity test is nontrivial
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+    params = convert_pointnet_state_dict(tmodel.state_dict())
+    jmodel = PointNetFeatureExtractor(k=16)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 128).astype(np.float32)  # torch layout (B, 3, N)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got = np.asarray(jmodel.apply(params, jnp.asarray(x.transpose(0, 2, 1))))
+    assert got.shape == want.shape == (2, 1024 + 512 + 256 + 16)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_pointmlp_forward_and_train_mode():
+    from lidarcrafter_tpu.metrics.extractor.pointmlp import point_mlp
+
+    m = point_mlp(num_classes=8, points=128, embed_dim=16,
+                  pre_blocks=(1, 1), pos_blocks=(1, 1), dim_expansion=(2, 2),
+                  k_neighbors=(8, 8), reducers=(2, 2))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 3))
+    variables = m.init(jax.random.PRNGKey(1), x)
+    logits = m.apply(variables, x)
+    assert logits.shape == (2, 8)
+    feats = m.apply(variables, x, return_features=True)
+    assert feats.shape == (2, 16 * 4)
+    # train step updates batch stats
+    out, mutated = m.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert out.shape == (2, 8)
+    assert "batch_stats" in mutated
