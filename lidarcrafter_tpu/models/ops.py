@@ -60,8 +60,16 @@ class RingConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.padding != 0:
-            x = ring_pad(x, self.padding, ring=self.ring)
+        # Zero-padding on H folds into the conv (fused by XLA); only the
+        # circular azimuth wrap materializes (one small concat of edge slices)
+        # instead of two full padded copies.
+        p = self.padding
+        conv_padding = ((p, p), (0, 0)) if p != 0 else "VALID"
+        if p != 0:
+            if self.ring:
+                x = jnp.concatenate([x[:, :, -p:], x, x[:, :, :p]], axis=2)
+            else:
+                conv_padding = ((p, p), (p, p))
         kernel_init = (
             nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
         )
@@ -69,7 +77,7 @@ class RingConv(nn.Module):
             features=self.features,
             kernel_size=self.kernel_size,
             strides=(self.stride, self.stride),
-            padding="VALID",
+            padding=conv_padding,
             use_bias=self.use_bias,
             kernel_init=kernel_init,
             bias_init=nn.initializers.zeros,
