@@ -56,3 +56,55 @@ def test_pointmlp_forward_and_train_mode():
     )
     assert out.shape == (2, 8)
     assert "batch_stats" in mutated
+
+
+def test_rangenet_parity_small():
+    """torch reference RangeNet21 (random init) vs converted flax model."""
+    import importlib.util, sys, types
+
+    # stub torchvision (absent in this env; only used by Preprocess)
+    tv = types.ModuleType("torchvision")
+    tv.transforms = types.SimpleNamespace(Normalize=lambda **k: (lambda x: x))
+    sys.modules.setdefault("torchvision", tv)
+    spec = importlib.util.spec_from_file_location(
+        "ref_rangenet", REF / "lidargen/metrics/extractor/rangenet.py"
+    )
+    ref_rn = importlib.util.module_from_spec(spec)
+    sys.modules["ref_rangenet"] = ref_rn
+    spec.loader.exec_module(ref_rn)
+
+    from lidarcrafter_tpu.metrics.extractor.rangenet import (
+        RangeNet,
+        convert_rangenet_state_dict,
+        preprocess_range_input,
+    )
+
+    torch.manual_seed(0)
+    tmodel = ref_rn.RangeNet(
+        inputs={"range": True, "xyz": True, "remission": True, "mask": False},
+        num_classes=7, backbone=21,
+    ).eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 2.0)
+
+    params = convert_rangenet_state_dict(tmodel.state_dict())
+    jmodel = RangeNet(num_classes=7, in_ch=5, backbone=21)
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 5, 32, 64).astype(np.float32)
+    with torch.no_grad():
+        want_logits = tmodel(torch.from_numpy(x)).numpy()
+        want_feats = tmodel(torch.from_numpy(x), feature="lidargen").numpy()
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    got_logits = np.asarray(jmodel.apply(params, xj))
+    np.testing.assert_allclose(
+        got_logits.transpose(0, 3, 1, 2), want_logits, rtol=1e-3, atol=1e-3
+    )
+    got_feats = np.asarray(jmodel.apply(params, xj, feature="lidargen"))
+    np.testing.assert_allclose(got_feats, want_feats, rtol=1e-3, atol=1e-3)
+
+    pre = preprocess_range_input(xj)
+    assert pre.shape == xj.shape
