@@ -1,0 +1,78 @@
+"""Object-level metrics: CGF/RGF/DCF drivers."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lidarcrafter_tpu.metrics.fg_object import (
+    compute_cgf,
+    compute_classification_metrics_fixed_bins,
+    compute_dcf,
+    compute_regression_metrics_fixed_bins,
+    precision_recall_f1,
+)
+
+
+def test_precision_recall_f1_matches_sklearn_semantics():
+    y_true = np.array([0, 0, 1, 1, 2, 2])
+    y_pred = np.array([0, 1, 1, 1, 2, 0])
+    p, r, f, s = precision_recall_f1(y_true, y_pred, 3)
+    np.testing.assert_allclose(p, [1 / 2, 2 / 3, 1.0])
+    np.testing.assert_allclose(r, [1 / 2, 1.0, 1 / 2])
+    np.testing.assert_array_equal(s, [2, 2, 2])
+
+
+def test_classification_bins():
+    res = {
+        "class_names": ["car", "ped"],
+        "test_true": [0, 0, 1, 1],
+        "test_pred": [0, 1, 1, 1],
+        "num_points_in_gt": [50, 150, 250, 600],
+    }
+    out = compute_classification_metrics_fixed_bins(res)
+    assert out["overall"]["accuracy"] == 0.75
+    assert set(out["partitions"]) == {"<100", "100-200", "200-300", ">500"}
+    assert out["partitions"]["<100"]["accuracy"] == 1.0
+    assert out["partitions"]["100-200"]["accuracy"] == 0.0
+
+
+def test_cgf_driver_with_pointmlp():
+    from lidarcrafter_tpu.metrics.extractor.pointmlp import point_mlp
+
+    m = point_mlp(num_classes=4, points=64, embed_dim=8,
+                  pre_blocks=(1,), pos_blocks=(1,), dim_expansion=(2,),
+                  k_neighbors=(8,), reducers=(2,))
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 3)))
+    apply = jax.jit(lambda pts: m.apply(variables, pts))
+    rng = np.random.RandomState(0)
+    clouds = [rng.randn(64, 3).astype(np.float32) for _ in range(6)]
+    out = compute_cgf(
+        apply, clouds, labels=[0, 1, 2, 3, 0, 1],
+        num_points_in_gt=[50, 150, 250, 350, 450, 550],
+        class_names=["car", "truck", "bus", "ped"],
+    )
+    assert 0.0 <= out["overall"]["accuracy"] <= 1.0
+    assert len(out["partitions"]) == 6
+
+
+def test_rgf_bins():
+    recs = {
+        "a": {"variance": [0.1, 0.2], "overlap": 0.8, "pointnum": 100},
+        "b": {"variance": [0.3, 0.4], "overlap": 0.6, "pointnum": 200},
+        "c": {"variance": [0.5, 0.6], "overlap": 0.4, "pointnum": 400},
+    }
+    out = compute_regression_metrics_fixed_bins(recs)
+    np.testing.assert_allclose(out["overall"]["variance"], [0.3, 0.4])
+    np.testing.assert_allclose(out["overall"]["overlap"], 0.6)
+    assert set(out["partitions"]) == {"<150", "150-300", ">300"}
+
+
+def test_dcf():
+    dets = {
+        "car": [{"name": "car", "score": 0.9}, {"name": "car", "score": 0.7}],
+        "bus": [{"name": "bus", "score": 0.5}],
+        "barrier": [{"name": "barrier", "score": 0.1}],  # filtered out
+    }
+    out = compute_dcf(dets)
+    assert out == {"car": 0.8, "bus": 0.5}
