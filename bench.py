@@ -11,6 +11,12 @@ import sys
 import time
 
 import jax
+
+# Persistent compilation cache: first driver run pays the ~2-7 min compile,
+# subsequent runs reuse the serialized executable.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 

@@ -6,7 +6,7 @@ unchanged.  Entries are appended as each family lands.
 
 from .hdit import HDiT
 from .efficient_unet import EfficientUNet, EfficientUNetCond, MFEfficientUNet
-from .layout_encoder import LayoutTransformerEncoder
+from .layout_encoder import LayoutTransformerEncoder, LayoutTransformerEncoderV5
 from .layout_unet import LayoutUnetV1
 from .point_unet import ObjectGenEncoder, PointUNet
 from .scene_graph import SceneGraph
@@ -17,6 +17,7 @@ __all_models__ = {
     "efficient_unet_cond": EfficientUNetCond,
     "mf_efficient_unet": MFEfficientUNet,
     "layout_encoder": LayoutTransformerEncoder,
+    "layout_encoder_v5": LayoutTransformerEncoderV5,
     "layout_unet_v1": LayoutUnetV1,
     "unet_1d": UNet1DModel,
     "scene_graph": SceneGraph,

@@ -174,3 +174,73 @@ class LayoutTransformerEncoder(nn.Module):
             else:
                 outputs["concat_cond"] = condition_dict["concat_cond"]
         return outputs
+
+
+class LayoutTransformerEncoderV5(LayoutTransformerEncoder):
+    """v5 variant; cf. ``encoders/layout_encoder_v5.py`` (diff vs base):
+    the 3D-box linear embedding is replaced by an :class:`ObjectGenEncoder`
+    over the per-object condition encoding (``fg_encoding_box`` 8-d) + class
+    text features, and ``autoregressive_cond`` is not concatenated.
+
+    ``condition_dict`` additionally carries ``fg_encoding_box`` (B, L, 8) and
+    ``fg_text_features`` (9, 512) — the CLIP class table (class 0 = unknown).
+    """
+
+    @nn.compact
+    def __call__(self, condition_dict: dict) -> dict:
+        from .point_unet import ObjectGenEncoder
+
+        obj_bbox_2d = condition_dict["gt_boxes_2d"]
+        obj_class = condition_dict["scaled_gt_boxes"][..., -1]
+        is_valid_obj = condition_dict["is_valid_obj"]
+        B, L = obj_class.shape
+
+        outputs: dict = {}
+        cls_emb = nn.Embed(
+            self.num_classes_for_layout_object, self.hidden_dim,
+            name="obj_class_embedding",
+        )(obj_class.astype(jnp.int32))
+        outputs["obj_class_embedding"] = cls_emb
+
+        bbox2d_dense = nn.Dense(self.hidden_dim, name="obj_bbox_2d_embedding")
+        emb2d = bbox2d_dense(obj_bbox_2d)
+        emb3d = ObjectGenEncoder(
+            num_class=self.num_classes_for_layout_object,
+            input_dim=8,
+            proj_dims=(
+                self.hidden_dim * 8, self.hidden_dim * 4,
+                self.hidden_dim * 4, self.hidden_dim,
+            ),
+            name="obj_bbox_3d_embedding",
+        )(
+            {
+                "fg_encoding_box": condition_dict["fg_encoding_box"],
+                "fg_class": obj_class,
+                "fg_text_features": condition_dict["fg_text_features"],
+            }
+        )
+        xf_in = cls_emb + emb3d + emb2d
+        outputs["obj_bbox_embedding"] = emb2d
+        for ds in self.resolution_to_attention:
+            key = f"image_patch_bbox_embedding_for_resolution{int(self.feature_map_size[0] / ds)}"
+            patches = jnp.asarray(image_patch_bboxes(self.feature_map_size, ds))
+            emb = bbox2d_dense(patches)
+            outputs[key] = jnp.broadcast_to(emb[None], (B, *emb.shape))
+
+        outputs["key_padding_mask"] = (1 - is_valid_obj).astype(bool)
+        kpm = outputs["key_padding_mask"] if self.use_key_padding_mask else None
+        xf_out = xf_in
+        if not self.not_use_layout_fusion_module:
+            for i in range(self.num_layers):
+                xf_out = ResidualAttentionBlock(self.num_heads, name=f"resblock{i}")(
+                    xf_out, kpm
+                )
+        if self.use_final_ln:
+            xf_out = nn.LayerNorm(name="final_ln")(xf_out)
+        outputs["xf_proj"] = nn.Dense(self.output_dim, name="transformer_proj")(
+            xf_out[:, 0]
+        )
+        outputs["xf_out"] = xf_out
+        if "concat_cond" in condition_dict:
+            outputs["concat_cond"] = condition_dict["concat_cond"]
+        return outputs

@@ -216,3 +216,29 @@ def test_point_unet_and_object_encoder():
          np.sin(2), np.sin(4), np.cos(2), np.cos(4)],
         rtol=1e-6,
     )
+
+
+def test_layout_encoder_v5():
+    from lidarcrafter_tpu.models.layout_encoder import LayoutTransformerEncoderV5
+
+    enc = LayoutTransformerEncoderV5(
+        feature_map_size=(H, W), layout_length=L, hidden_dim=64, output_dim=256,
+        num_layers=1, num_heads=4, use_final_ln=True,
+        num_classes_for_layout_object=9, mask_size_for_layout_object=32,
+        used_condition_types=("obj_class", "obj_bbox", "is_valid_obj"),
+        resolution_to_attention=(4,), out_channels=10,
+    )
+    r = np.random.RandomState(0)
+    cond = {
+        "scaled_gt_boxes": jnp.asarray(r.rand(B, L, 9).astype(np.float32)),
+        "gt_boxes_2d": jnp.asarray(r.rand(B, L, 4).astype(np.float32)),
+        "is_valid_obj": jnp.ones((B, L)),
+        "fg_encoding_box": jnp.asarray(r.rand(B, L, 8).astype(np.float32)),
+        "fg_text_features": jnp.asarray(r.randn(9, 512).astype(np.float32)),
+        "concat_cond": jnp.zeros((B, H, W, 10)),
+    }
+    params = enc.init(jax.random.PRNGKey(0), cond)
+    out = enc.apply(params, cond)
+    assert out["xf_out"].shape == (B, L, 64)
+    assert out["xf_proj"].shape == (B, 256)
+    assert out["concat_cond"].shape == (B, H, W, 10)
