@@ -70,7 +70,8 @@ class LocalGrouper(nn.Module):
         new_xyz = jnp.take_along_axis(xyz, fps_idx[..., None], axis=1)
         new_points = jnp.take_along_axis(points, fps_idx[..., None], axis=1)
 
-        _, idx = knn(new_xyz, xyz, self.kneighbors)  # (B, S, k)
+        k = min(self.kneighbors, N)  # small test clouds: clamp to available points
+        _, idx = knn(new_xyz, xyz, k)  # (B, S, k)
         grouped_xyz = jax.vmap(lambda p, i: p[i])(xyz, idx)  # (B, S, k, 3)
         grouped_points = jax.vmap(lambda p, i: p[i])(points, idx)
         if self.use_xyz:
@@ -99,7 +100,7 @@ class LocalGrouper(nn.Module):
             grouped_points = centered / (std + 1e-5)
             grouped_points = alpha * grouped_points + beta
         rep = jnp.broadcast_to(
-            new_points[:, :, None, :], (*new_points.shape[:2], self.kneighbors, new_points.shape[-1])
+            new_points[:, :, None, :], (*new_points.shape[:2], k, new_points.shape[-1])
         )
         return new_xyz, jnp.concatenate([grouped_points, rep], axis=-1)
 
