@@ -163,3 +163,30 @@ def test_bev_histogram_parity():
     want = ref_bev.point_cloud_to_histogram(torch.from_numpy(pts)).numpy()
     got = np.asarray(point_cloud_to_histogram(jnp.asarray(pts)))
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_roiaware_pool3d():
+    from lidarcrafter_tpu.ops.roiaware import roiaware_pool3d
+
+    # one axis-aligned box at origin, 2x2x2 grid
+    rois = jnp.asarray([[0.0, 0, 0, 2, 2, 2, 0]])
+    pts = jnp.asarray([
+        [-0.5, -0.5, -0.5],   # voxel (0,0,0)
+        [0.5, 0.5, 0.5],      # voxel (1,1,1)
+        [0.6, 0.6, 0.6],      # voxel (1,1,1)
+        [10.0, 0, 0],         # outside
+    ])
+    feats = jnp.asarray([[1.0], [2.0], [4.0], [100.0]])
+    out = roiaware_pool3d(rois, pts, feats, out_size=2, pool_method="max")
+    assert out.shape == (1, 2, 2, 2, 1)
+    assert float(out[0, 0, 0, 0, 0]) == 1.0
+    assert float(out[0, 1, 1, 1, 0]) == 4.0
+    assert float(out[0, 0, 1, 0, 0]) == 0.0  # empty voxel
+    out_avg = roiaware_pool3d(rois, pts, feats, out_size=2, pool_method="avg")
+    assert float(out_avg[0, 1, 1, 1, 0]) == 3.0
+
+    # rotated box: local frame binning
+    rois_rot = jnp.asarray([[0.0, 0, 0, 4, 2, 2, np.pi / 2]])
+    pts2 = jnp.asarray([[0.0, 1.5, 0.0]])  # along +y = local +x after -90° derot
+    out2 = roiaware_pool3d(rois_rot, pts2, jnp.asarray([[7.0]]), out_size=(2, 1, 1))
+    assert float(out2[0, 1, 0, 0, 0]) == 7.0
