@@ -121,3 +121,51 @@ def test_evaluate_orchestration():
     assert np.isfinite(res["frid"])
     with pytest.raises(ValueError):
         evaluate(ref, gen, metrics=["fsvd"], verbose=False)
+
+
+def test_evaluation_engine_end_to_end(tmp_path):
+    """EvaluationEngine with real flax extractors (random weights) + caching."""
+    import jax
+
+    from lidarcrafter_tpu.metrics.engine import EvaluationEngine
+    from lidarcrafter_tpu.metrics.extractor.pointnet import PointNetFeatureExtractor
+    from lidarcrafter_tpu.metrics.extractor.rangenet import RangeNet
+    from lidarcrafter_tpu.utils.lidar import LiDARUtility
+
+    utils = LiDARUtility.create((16, 64), "log_depth", 1.45, 80.0)
+    rnet = RangeNet(num_classes=5, in_ch=5, backbone=21)
+    rparams = rnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 5)))
+    pnet = PointNetFeatureExtractor(k=4)
+    pparams = pnet.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 3)))
+
+    engine = EvaluationEngine(
+        lidar_utils=utils,
+        rangenet_apply=lambda img: rnet.apply(rparams, img, feature="lidargen"),
+        pointnet_apply=lambda pts: pnet.apply(pparams, pts),
+        cache_dir=str(tmp_path),
+        num_points_pointnet=64,
+    )
+    rng = np.random.RandomState(0)
+
+    def cloud():
+        r = rng.uniform(3, 50, 500)
+        az = rng.uniform(-np.pi, np.pi, 500)
+        el = rng.uniform(-0.4, 0.15, 500)
+        return np.stack(
+            [r * np.cos(el) * np.cos(az), r * np.cos(el) * np.sin(az),
+             r * np.sin(el), rng.rand(500)], 1,
+        ).astype(np.float32)
+
+    real = [cloud() for _ in range(3)]
+    gen = [cloud() for _ in range(3)]
+    res = engine.evaluate(
+        real, gen, metrics=("frd", "fpd", "jsd", "mmd"),
+        output_json=str(tmp_path / "out.json"),
+    )
+    assert set(res) >= {"frd", "fpd", "jsd", "mmd"}
+    assert all(np.isfinite(v) for v in res.values())
+    assert (tmp_path / "features_real.pkl").exists()
+    assert (tmp_path / "out.json").exists()
+    # cached second run gives identical features
+    res2 = engine.evaluate(real, gen, metrics=("jsd",))
+    np.testing.assert_allclose(res2["jsd"], res["jsd"], rtol=1e-6)
