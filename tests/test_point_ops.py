@@ -190,3 +190,48 @@ def test_roiaware_pool3d():
     pts2 = jnp.asarray([[0.0, 1.5, 0.0]])  # along +y = local +x after -90° derot
     out2 = roiaware_pool3d(rois_rot, pts2, jnp.asarray([[7.0]]), out_size=(2, 1, 1))
     assert float(out2[0, 1, 0, 0, 0]) == 7.0
+
+
+def test_stacked_ops_roundtrip():
+    from lidarcrafter_tpu.ops.stack import (
+        padded_to_stack,
+        stack_ball_query,
+        stack_farthest_point_sampling,
+        stack_three_nn,
+        stack_to_padded,
+    )
+
+    rng = np.random.RandomState(0)
+    cnt = np.array([5, 3])
+    flat = rng.randn(8, 3).astype(np.float32)
+    padded, mask = stack_to_padded(jnp.asarray(flat), jnp.asarray(cnt), max_count=6)
+    assert padded.shape == (2, 6, 3)
+    assert int(mask.sum()) == 8
+    back = np.asarray(padded_to_stack(padded, mask, 8))
+    np.testing.assert_allclose(back, flat, atol=1e-6)
+
+    # FPS: flat indices land inside each batch segment
+    idx = np.asarray(
+        stack_farthest_point_sampling(jnp.asarray(flat), jnp.asarray(cnt), 2, max_count=6)
+    )
+    assert idx.shape == (4,)
+    assert (idx[:2] < 5).all() and (idx[2:] >= 5).all() and (idx[2:] < 8).all()
+
+    # ball query: neighbors of each query stay within its own segment
+    q = flat[[0, 5]]
+    qcnt = np.array([1, 1])
+    nidx = np.asarray(
+        stack_ball_query(jnp.asarray(q), jnp.asarray(qcnt), jnp.asarray(flat),
+                         jnp.asarray(cnt), radius=100.0, nsample=3, max_count=6)
+    )
+    assert nidx.shape == (2, 3)
+    assert (nidx[0] < 5).all() and (nidx[1] >= 5).all()
+
+    dist, tidx = stack_three_nn(
+        jnp.asarray(q), jnp.asarray(qcnt), jnp.asarray(flat), jnp.asarray(cnt),
+        max_count=6,
+    )
+    assert np.asarray(dist).shape == (2, 3)
+    # nearest of q==flat[0] within segment 0 is itself (distance 0)
+    assert float(np.asarray(dist)[0, 0]) < 1e-6
+    assert int(np.asarray(tidx)[0, 0]) == 0
