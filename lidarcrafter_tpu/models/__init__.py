@@ -10,6 +10,7 @@ from .layout_encoder import LayoutTransformerEncoder, LayoutTransformerEncoderV5
 from .layout_unet import LayoutUnetV1
 from .point_unet import ObjectGenEncoder, PointUNet
 from .scene_graph import SceneGraph
+from .refinenet import LiDARGenRefineNet
 from .unet_1d import UNet1DModel
 
 __all_models__ = {
@@ -24,6 +25,7 @@ __all_models__ = {
     "object_gen_encoder": ObjectGenEncoder,
     "point_unet": PointUNet,
     "hdit": HDiT,
+    "refinenet": LiDARGenRefineNet,
 }
 
 

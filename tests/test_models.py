@@ -127,3 +127,14 @@ def test_efficient_unet_azimuth_equivariance():
     out1 = model.apply(params, jnp.roll(x, shift, axis=2), t)
     out2 = jnp.roll(model.apply(params, x, t), shift, axis=2)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-4, atol=1e-4)
+
+
+def test_refinenet_forward():
+    from lidarcrafter_tpu.models.refinenet import LiDARGenRefineNet
+
+    m = LiDARGenRefineNet(in_channels=2, resolution=(16, 32), base_channels=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32, 2))
+    p = m.init(jax.random.PRNGKey(1), x)
+    out = jax.jit(lambda p, x: m.apply(p, x))(p, x)
+    assert out.shape == (1, 16, 32, 2)
+    assert np.isfinite(np.asarray(out)).all()
