@@ -117,3 +117,39 @@ def test_pointmlp_classifier_training_learns():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_rangenet_segmentation_training():
+    from lidarcrafter_tpu.metrics.extractor.rangenet import RangeNet
+    from lidarcrafter_tpu.training.segmentation import (
+        make_segmentation_train_step,
+        mean_iou,
+        weighted_pixel_cross_entropy,
+    )
+    import optax
+
+    # loss semantics: perfect prediction ≈ 0, ignore pixels excluded
+    logits = jnp.zeros((1, 2, 2, 3)).at[..., 1].set(10.0)
+    labels = jnp.asarray([[[1, 1], [1, -1]]])
+    l = float(weighted_pixel_cross_entropy(logits, labels))
+    assert l < 1e-3
+    labels_bad = jnp.asarray([[[0, 0], [0, -1]]])
+    assert float(weighted_pixel_cross_entropy(logits, labels_bad)) > 1.0
+    assert float(mean_iou(logits, labels, 3)) == 1.0
+
+    # 2 steps of training on a tiny RangeNet reduce the loss
+    net = RangeNet(num_classes=3, in_ch=5, backbone=21)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 64, 5)))
+    tx = optax.adam(1e-3)
+    step = make_segmentation_train_step(lambda p, img: net.apply(p, img), tx)
+    opt_state = tx.init(params)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(1, 8, 64, 5).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, 3, (1, 8, 64))),
+    }
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
