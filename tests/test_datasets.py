@@ -173,3 +173,54 @@ def test_expand_future_trajs():
     np.testing.assert_allclose(ego[-1], [3.0, 3.0], atol=1e-6)
     ego16, obj16 = R.expand_future_trajs(deltas, M=16)
     assert ego16.shape == (15, 2) and obj16.shape == (1, 15, 2)
+
+
+def test_temporal_dataset_with_synthetic_files(tmp_path):
+    from lidarcrafter_tpu.configs import get_config
+    from lidarcrafter_tpu.datasets.temporal_dataset import NuscTempDataset
+
+    rng = np.random.RandomState(0)
+
+    def make_bin(name):
+        r = rng.uniform(3, 50, 2000)
+        az = rng.uniform(-np.pi, np.pi, 2000)
+        el = rng.uniform(-0.4, 0.15, 2000)
+        pts = np.stack(
+            [r * np.cos(el) * np.cos(az), r * np.cos(el) * np.sin(az),
+             r * np.sin(el), rng.uniform(0, 255, 2000), np.zeros(2000)], 1,
+        ).astype(np.float32)
+        # guarantee some points inside the fg box at (10, 5, 0)
+        pts[:50, :3] = np.array([10, 5, 0]) + rng.uniform(-0.5, 0.5, (50, 3))
+        pts.tofile(tmp_path / name)
+        return name
+
+    def info(token, prev_token=None):
+        boxes = np.zeros((2, 7))
+        boxes[1] = [10, 5, 0, 4, 2, 2, 0.3]
+        return {
+            "token": token,
+            "lidar_path": make_bin(f"{token}.bin"),
+            "prev_info": {
+                "valid": prev_token is not None,
+                "token": prev_token,
+                "sensor2lidar_rotation": np.eye(3),
+                "sensor2lidar_translation": np.array([1.0, 0, 0]),
+            },
+            "scene_graph": {
+                "valid": True,
+                "keep_box_names": np.array(["ego", "car"]),
+                "keep_box": boxes,
+            },
+        }
+
+    cfg = get_config("nuscenes-unet-uncond")
+    cfg.data.data_root = str(tmp_path)
+    cfg.data.resolution = (16, 64)
+    infos = [info("a"), info("b", prev_token="a")]
+    ds = NuscTempDataset(cfg, infos=infos)
+    assert len(ds) == 1  # only 'b' has a valid prev
+    sample = ds[0]
+    assert sample["depth"].shape == (16, 64, 1)
+    assert sample["prev_cond"].shape == (16, 64, 7)  # xyz+int+label+depth+mask
+    labels = sample["prev_cond"][..., 4]
+    assert labels.max() >= 1  # some fg pixels labeled
