@@ -166,3 +166,148 @@ class Trainer:
                     str(self.output_dir / f"ckpt_{step:010d}"), state, self.cfg
                 )
         return state
+
+
+class FlowTrainer(Trainer):
+    """MeanFlow branch trainer (meanflow-nusc); cf. ``tools/train/train_flow.py``."""
+
+    def __init__(self, cfg, data_iter, **kw):
+        super(Trainer, self).__init__()  # bypass Trainer.__init__
+        from .factory import build_flow_training
+
+        self.cfg = cfg
+        self.data_iter = data_iter
+        self.log_fn = kw.get("log_fn", print)
+        self.output_dir = Path(kw.get("output_dir") or cfg.training.output_dir)
+        self.models, self.engine, self.lidar_utils = build_flow_training(cfg)
+        self.is_cond = False
+        self.mesh = kw.get("mesh") or make_mesh(sp=1)
+        self.tx = make_optimizer(
+            lr=cfg.training.lr,
+            warmup_steps=cfg.training.lr_warmup_steps,
+            num_steps=cfg.training.num_steps,
+            b1=cfg.training.adam_beta1,
+            b2=cfg.training.adam_beta2,
+            eps=cfg.training.adam_epsilon,
+            weight_decay=cfg.training.adam_weight_decay,
+        )
+
+    def init_state(self, rng):
+        H, W = self.cfg.data.resolution
+        params = self.models.init(
+            rng, jnp.zeros((1, H, W, 2)), jnp.zeros((1,)), jnp.zeros((1,))
+        )
+        return TrainState.create(params, self.tx)
+
+    def train(self, num_steps=None, rng=None, state=None, checkpoint_every=None):
+        import optax
+
+        from .ema import ema_update
+
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.training.seed)
+        num_steps = num_steps or self.cfg.training.num_steps
+        if state is None:
+            state = self.init_state(rng)
+        engine, tx, cfg = self.engine, self.tx, self.cfg
+
+        @jax.jit
+        def step_fn(state, x_0, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(params):
+                loss, mse = engine.loss(params, step_rng, x_0)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = ema_update(
+                state.ema_params, params, state.step,
+                beta=cfg.training.ema_decay,
+                update_every=cfg.training.ema_update_every,
+                update_after_step=cfg.training.lr_warmup_steps,
+            )
+            return state.replace(
+                step=state.step + 1, params=params,
+                ema_params=ema_params, opt_state=opt_state,
+            ), loss
+
+        while int(jax.device_get(state.step)) < num_steps:
+            batch = next(self.data_iter)
+            x_0 = self.prepare_batch(batch)
+            state, loss = step_fn(state, x_0, rng)
+            step = int(jax.device_get(state.step))
+            if self.log_fn is not None and step % 50 == 0:
+                self.log_fn({"step": step, "loss": float(jax.device_get(loss))})
+            if checkpoint_every and step % checkpoint_every == 0:
+                save_checkpoint(str(self.output_dir / f"ckpt_{step:010d}"), state, self.cfg)
+        return state
+
+
+class ObjectTrainer(Trainer):
+    """Per-object point diffusion trainer (nuscenes-object);
+    cf. ``tools/train/train_object.py``.  ``data_iter`` yields the
+    NuscObjectDataset collate format + a ``fg_text_features`` table."""
+
+    def __init__(self, cfg, data_iter, text_features, **kw):
+        super(Trainer, self).__init__()
+        from .factory import build_object_training
+
+        self.cfg = cfg
+        self.data_iter = data_iter
+        self.text_features = jnp.asarray(text_features)
+        self.log_fn = kw.get("log_fn", print)
+        self.output_dir = Path(kw.get("output_dir") or cfg.training.output_dir)
+        self.models, self.engine, self.lidar_utils = build_object_training(cfg)
+        self.is_cond = True
+        self.mesh = kw.get("mesh") or make_mesh(sp=1)
+        self.tx = make_optimizer(
+            lr=cfg.training.lr,
+            warmup_steps=cfg.training.lr_warmup_steps,
+            num_steps=cfg.training.num_steps,
+        )
+
+    def init_state(self, rng):
+        N = self.cfg.data.num_samples
+        D = self.cfg.model.params["point_dim"]
+        input_dict = {
+            "fg_encoding_box": jnp.zeros((1, 6)),
+            "fg_class": jnp.zeros((1,), jnp.int32),
+            "fg_text_features": self.text_features,
+        }
+        r1, r2 = jax.random.split(rng)
+        cond_params = self.models["cond"].init(r1, input_dict)
+        feat = self.models["cond"].apply(cond_params, input_dict)
+        cd = {"time_condition": jnp.zeros((1,)), "other_condition": feat}
+        model_params = self.models["model"].init(r2, jnp.zeros((1, N, D)), cd)
+        return TrainState.create({"model": model_params, "cond": cond_params}, self.tx)
+
+    def prepare_batch(self, batch):
+        return {
+            "x_0": jnp.asarray(batch["fg_points"]),
+            "fg_encoding_box": jnp.asarray(batch["fg_encoding_box"]),
+            "fg_class": jnp.asarray(batch["fg_class"]),
+            "fg_text_features": self.text_features,
+        }
+
+    def train(self, num_steps=None, rng=None, state=None, checkpoint_every=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.training.seed)
+        num_steps = num_steps or self.cfg.training.num_steps
+        if state is None:
+            state = self.init_state(rng)
+        step_fn = make_train_step(
+            self.engine, self.tx,
+            ema_beta=self.cfg.training.ema_decay,
+            ema_update_every=self.cfg.training.ema_update_every,
+            ema_update_after_step=self.cfg.training.lr_warmup_steps,
+            donate=False,
+        )
+        while int(jax.device_get(state.step)) < num_steps:
+            batch = self.prepare_batch(next(self.data_iter))
+            state, loss = step_fn(state, batch, rng)
+            step = int(jax.device_get(state.step))
+            if self.log_fn is not None and step % 50 == 0:
+                self.log_fn({"step": step, "loss": float(jax.device_get(loss))})
+            if checkpoint_every and step % checkpoint_every == 0:
+                save_checkpoint(str(self.output_dir / f"ckpt_{step:010d}"), state, self.cfg)
+        return state

@@ -71,3 +71,46 @@ def test_cli_help(tool):
     )
     assert out.returncode == 0, out.stderr
     assert "usage" in out.stdout.lower()
+
+
+def test_flow_and_object_trainers():
+    import jax.numpy as jnp
+
+    from lidarcrafter_tpu.configs import get_config
+    from lidarcrafter_tpu.training.loop import FlowTrainer, ObjectTrainer
+
+    # MeanFlow branch
+    cfg = get_config("meanflow-nusc")
+    cfg.data.resolution = (16, 32)
+    cfg.model.params.update(base_channels=8, num_residual_blocks=(1, 1, 1, 1),
+                            gn_num_groups=4, coords_encoding=None)
+    cfg.training.lr_warmup_steps = 1
+
+    def batches():
+        rng = np.random.RandomState(0)
+        while True:
+            depth = rng.uniform(0, 60, (2, 16, 32, 1)).astype(np.float32)
+            yield {"depth": depth, "reflectance": rng.rand(2, 16, 32, 1).astype(np.float32)}
+
+    t = FlowTrainer(cfg, batches(), log_fn=None)
+    state = t.train(num_steps=2)
+    assert int(jax.device_get(state.step)) == 2
+
+    # object branch
+    cfg = get_config("nuscenes-object")
+    cfg.data.num_samples = 32
+    cfg.training.lr_warmup_steps = 1
+    text = np.random.RandomState(1).randn(8, 512).astype(np.float32)
+
+    def obatches():
+        rng = np.random.RandomState(2)
+        while True:
+            yield {
+                "fg_points": rng.randn(2, 32, 4).astype(np.float32),
+                "fg_encoding_box": rng.randn(2, 6).astype(np.float32),
+                "fg_class": rng.randint(0, 8, 2),
+            }
+
+    t = ObjectTrainer(cfg, obatches(), text, log_fn=None)
+    state = t.train(num_steps=2)
+    assert int(jax.device_get(state.step)) == 2
