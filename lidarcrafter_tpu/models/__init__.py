@@ -20,6 +20,8 @@ __all_models__ = {
     "layout_encoder": LayoutTransformerEncoder,
     "layout_encoder_v5": LayoutTransformerEncoderV5,
     "layout_unet_v1": LayoutUnetV1,
+    # v0 uses the GLIDE attention path of the same trunk (see configs nusc_box_layout)
+    "layout_unet": LayoutUnetV1,
     "unet_1d": UNet1DModel,
     "scene_graph": SceneGraph,
     "object_gen_encoder": ObjectGenEncoder,

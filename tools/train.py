@@ -54,20 +54,35 @@ def main():
     parser.add_argument("--output-dir", default=None)
     parser.add_argument("--synthetic-data", action="store_true")
     parser.add_argument("--sp", type=int, default=1, help="azimuth-parallel mesh axis")
+    parser.add_argument("--text-features", default=None, help="CLIP class-text table pkl (object branch)")
     args = parser.parse_args()
 
     from lidarcrafter_tpu.configs import get_config
     from lidarcrafter_tpu.parallel import make_mesh
-    from lidarcrafter_tpu.training.loop import Trainer
+    from lidarcrafter_tpu.training.loop import FlowTrainer, ObjectTrainer, Trainer
 
     cfg = get_config(args.cfg)
     if args.batch_size:
         cfg.training.batch_size_train = args.batch_size
 
-    data = synthetic_batches(cfg) if args.synthetic_data else real_batches(cfg)
-    trainer = Trainer(
-        cfg, data, mesh=make_mesh(sp=args.sp), output_dir=args.output_dir
-    )
+    mesh = make_mesh(sp=args.sp)
+    if getattr(cfg, "flow", None) is not None:
+        data = synthetic_batches(cfg) if args.synthetic_data else real_batches(cfg)
+        trainer = FlowTrainer(cfg, data, mesh=mesh, output_dir=args.output_dir)
+    elif getattr(cfg.data, "task", None) == "object_generation":
+        import numpy as np
+        import pickle
+
+        data = real_batches(cfg)
+        text = (
+            pickle.load(open(args.text_features, "rb"))
+            if args.text_features
+            else np.zeros((len(cfg.data.class_names), 512), np.float32)
+        )
+        trainer = ObjectTrainer(cfg, data, text, mesh=mesh, output_dir=args.output_dir)
+    else:
+        data = synthetic_batches(cfg) if args.synthetic_data else real_batches(cfg)
+        trainer = Trainer(cfg, data, mesh=mesh, output_dir=args.output_dir)
     trainer.train(num_steps=args.num_steps)
 
 
