@@ -1,0 +1,116 @@
+"""Sparse voxel convs: parity vs dense 3D convolution on a small grid."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lidarcrafter_tpu.ops.sparse import (
+    sparse_downsample2,
+    submanifold_conv3d,
+    voxelize,
+)
+
+
+def test_voxelize_unique_and_inverse():
+    pts = np.array(
+        [[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [1.1, 0.1, 0.1], [5.0, 5.0, 5.0]],
+        np.float32,
+    )
+    coords, src, mask, inv = voxelize(jnp.asarray(pts), 1.0, max_voxels=16)
+    assert int(mask.sum()) == 3  # first two share a voxel
+    inv = np.asarray(inv)
+    assert inv[0] == inv[1]
+    assert len({inv[0], inv[2], inv[3]}) == 3
+
+
+def _dense_reference(grid_feats, kernel, stride=1):
+    """Dense conv3d via lax for parity checking (NDHWC)."""
+    k = round(len(kernel) ** (1 / 3))
+    Cin, Cout = kernel.shape[1], kernel.shape[2]
+    w = np.asarray(kernel).reshape(k, k, k, Cin, Cout)
+    pad = "SAME" if stride == 1 else "VALID"
+    return jax.lax.conv_general_dilated(
+        grid_feats[None],  # (1, D, H, W, C)
+        jnp.asarray(w),
+        window_strides=(stride,) * 3,
+        padding=pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )[0]
+
+
+def test_submanifold_conv_matches_dense_on_full_grid():
+    """On a fully-occupied grid, submanifold conv == dense SAME conv."""
+    rng = np.random.RandomState(0)
+    G, Cin, Cout = 4, 3, 5
+    grid = rng.randn(G, G, G, Cin).astype(np.float32)
+    kernel = rng.randn(27, Cin, Cout).astype(np.float32) * 0.1
+
+    coords = np.stack(np.meshgrid(*([np.arange(G)] * 3), indexing="ij"), -1).reshape(-1, 3)
+    feats = grid.reshape(-1, Cin)
+    V = 128
+    coords_p = np.zeros((V, 3), np.int32)
+    feats_p = np.zeros((V, Cin), np.float32)
+    coords_p[: len(coords)] = coords
+    feats_p[: len(coords)] = feats
+    mask = np.arange(V) < len(coords)
+
+    out = submanifold_conv3d(
+        jnp.asarray(feats_p), jnp.asarray(coords_p), jnp.asarray(mask),
+        jnp.asarray(kernel),
+    )
+    want = np.asarray(_dense_reference(jnp.asarray(grid), kernel))
+    got = np.asarray(out)[: len(coords)].reshape(G, G, G, Cout)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_submanifold_conv_sparse_sites():
+    """Empty voxels contribute nothing; output exists only at input sites."""
+    rng = np.random.RandomState(1)
+    Cin, Cout = 2, 3
+    coords = np.array([[0, 0, 0], [1, 0, 0], [10, 10, 10]], np.int32)
+    feats = rng.randn(3, Cin).astype(np.float32)
+    V = 8
+    cp = np.zeros((V, 3), np.int32)
+    fp = np.zeros((V, Cin), np.float32)
+    cp[:3] = coords
+    fp[:3] = feats
+    mask = np.arange(V) < 3
+    kernel = rng.randn(27, Cin, Cout).astype(np.float32)
+    out = np.asarray(
+        submanifold_conv3d(jnp.asarray(fp), jnp.asarray(cp), jnp.asarray(mask), jnp.asarray(kernel))
+    )
+    # center tap index for offset (0,0,0) in ij meshgrid order is 13
+    center_k = kernel[13]
+    # isolated voxel sees only itself
+    np.testing.assert_allclose(out[2], feats[2] @ center_k, rtol=1e-4, atol=1e-4)
+    # neighbors interact: voxel 0 sees itself + voxel 1 at offset (+1,0,0)
+    off_idx = 13 + 9  # (+1, 0, 0) in ij order
+    want0 = feats[0] @ center_k + feats[1] @ kernel[off_idx]
+    np.testing.assert_allclose(out[0], want0, rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_downsample_matches_dense():
+    rng = np.random.RandomState(2)
+    G, Cin, Cout = 4, 2, 3
+    grid = rng.randn(G, G, G, Cin).astype(np.float32)
+    kernel = rng.randn(8, Cin, Cout).astype(np.float32) * 0.1
+    coords = np.stack(np.meshgrid(*([np.arange(G)] * 3), indexing="ij"), -1).reshape(-1, 3)
+    feats = grid.reshape(-1, Cin)
+    V = 128
+    cp = np.zeros((V, 3), np.int32)
+    fp = np.zeros((V, Cin), np.float32)
+    cp[: len(coords)] = coords
+    fp[: len(coords)] = feats
+    mask = np.arange(V) < len(coords)
+    out, out_coords, out_mask = sparse_downsample2(
+        jnp.asarray(fp), jnp.asarray(cp), jnp.asarray(mask), jnp.asarray(kernel),
+        max_voxels=64,
+    )
+    want = np.asarray(_dense_reference(jnp.asarray(grid), kernel, stride=2))
+    got = np.zeros_like(want)
+    oc = np.asarray(out_coords)[np.asarray(out_mask)]
+    ov = np.asarray(out)[np.asarray(out_mask)]
+    for c, v in zip(oc, ov):
+        got[c[0], c[1], c[2]] = v
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
