@@ -43,16 +43,24 @@ class EvaluationEngine:
         lidar_utils: LiDARUtility | None = None,
         rangenet_apply: Callable | None = None,
         pointnet_apply: Callable | None = None,
+        voxel_apply: Callable | None = None,
+        point_voxel_apply: Callable | None = None,
         cache_dir: str | None = None,
         num_points_pointnet: int = 2048,
+        max_points_sparse: int = 32768,
+        depth_range: tuple = (1.0, 45.0),
     ):
         self.lidar_utils = lidar_utils or LiDARUtility.create(
             (32, 1024), "log_depth", 1.45, 80.0
         )
         self.rangenet_apply = rangenet_apply
         self.pointnet_apply = pointnet_apply
+        self.voxel_apply = voxel_apply
+        self.point_voxel_apply = point_voxel_apply
         self.cache_dir = Path(cache_dir) if cache_dir else None
         self.num_points_pointnet = num_points_pointnet
+        self.max_points_sparse = max_points_sparse
+        self.depth_range = depth_range
 
     # ------------------------------------------------------------- features
 
@@ -80,6 +88,23 @@ class EvaluationEngine:
             idx = np.random.RandomState(0).choice(len(points), n, replace=True)
         return points[idx, :3]
 
+    def _sparse_input(self, points: np.ndarray):
+        """Cloud → padded (pts, feats [x,y,z,-1], mask) for the sparse
+        backbones; cf. ``metric_utils.preprocess_pcd`` (depth gate) +
+        ``pcd2voxel`` (``metric_utils.py:157-167``: remission placeholder
+        -1, round-to-voxel handled inside the model via a half-voxel shift)."""
+        pts = points[:, :3]
+        depth = np.linalg.norm(pts, 2, axis=1)
+        pts = pts[(depth > self.depth_range[0]) & (depth < self.depth_range[1])]
+        P = self.max_points_sparse
+        pts = pts[:P]
+        n = len(pts)
+        pad = np.zeros((P, 3), np.float32)
+        pad[:n] = pts
+        feats = np.concatenate([pad, -np.ones((P, 1), np.float32)], 1)
+        mask = np.arange(P) < n
+        return jnp.asarray(pad), jnp.asarray(feats), jnp.asarray(mask)
+
     def extract_features(self, clouds: Iterable[np.ndarray], tag: str) -> dict:
         """Per-set features with pkl caching; cf. ``load_real_dataset``
         (``evaluate_our.py:190-237``)."""
@@ -88,7 +113,8 @@ class EvaluationEngine:
             if cache.exists():
                 with open(cache, "rb") as f:
                     return pickle.load(f)
-        feats = {"rangenet": [], "pointnet": [], "bev_hist": []}
+        feats = {"rangenet": [], "pointnet": [], "bev_hist": [],
+                 "voxel": [], "point_voxel": []}
         for pts in clouds:
             pts = np.asarray(pts, np.float32)
             feats["bev_hist"].append(
@@ -104,6 +130,14 @@ class EvaluationEngine:
                         self.pointnet_apply(jnp.asarray(self._subsample(pts))[None])
                     )[0]
                 )
+            if self.voxel_apply is not None or self.point_voxel_apply is not None:
+                sp = self._sparse_input(pts)
+                if self.voxel_apply is not None:
+                    feats["voxel"].append(np.asarray(self.voxel_apply(*sp)))
+                if self.point_voxel_apply is not None:
+                    feats["point_voxel"].append(
+                        np.asarray(self.point_voxel_apply(*sp))
+                    )
         out = {k: (np.stack(v) if v else None) for k, v in feats.items()}
         if self.cache_dir is not None:
             self.cache_dir.mkdir(parents=True, exist_ok=True)
@@ -130,6 +164,16 @@ class EvaluationEngine:
         if "fpd" in metrics and real["pointnet"] is not None:
             results["fpd"] = compute_frechet_distance(real["pointnet"], gen["pointnet"])
             results["fpd_mmd"] = compute_squared_mmd(real["pointnet"], gen["pointnet"])
+        if "fsvd" in metrics and real["voxel"] is not None:
+            results["fsvd"] = compute_frechet_distance(real["voxel"], gen["voxel"])
+            results["fsvd_mmd"] = compute_squared_mmd(real["voxel"], gen["voxel"])
+        if "fpvd" in metrics and real["point_voxel"] is not None:
+            results["fpvd"] = compute_frechet_distance(
+                real["point_voxel"], gen["point_voxel"]
+            )
+            results["fpvd_mmd"] = compute_squared_mmd(
+                real["point_voxel"], gen["point_voxel"]
+            )
         if "jsd" in metrics:
             results["jsd"] = compute_jsd_2d(
                 jnp.asarray(real["bev_hist"]), jnp.asarray(gen["bev_hist"])

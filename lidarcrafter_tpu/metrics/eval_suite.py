@@ -63,6 +63,76 @@ def compute_fd(reference_feats, sample_feats) -> float:
     return compute_frechet_distance(reference_feats, sample_feats)
 
 
+_TYPE2DATASET = {"32": "nuscenes", "64": "kitti"}
+_DEPTH_RANGE = {"nuscenes": (1.0, 45.0), "kitti": (1.0, 56.0)}
+_EVAL_VOXEL_SIZE = 0.05  # cf. ``metrics/__init__.py:28`` VOXEL_SIZE
+
+
+def _load_sparse_backbone(model_name: str, folder, max_points: int):
+    """Load a pretrained torchsparse eval checkpoint
+    (``{root}/{dataset}/{minkowskinet|spvcnn}/model.ckpt``, cf.
+    ``metrics/__init__.py:39-63`` ``build_model``) into the flax backbone.
+    Channel widths / class count are inferred from the weight shapes."""
+    from pathlib import Path
+
+    import torch
+
+    from .extractor.sparse_unet import (
+        SPVCNN,
+        MinkowskiNet,
+        convert_torchsparse_state_dict,
+    )
+
+    ckpt = torch.load(
+        Path(folder) / "model.ckpt", map_location="cpu", weights_only=False
+    )
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    cs = [sd["stem.0.weight"].shape[2]]
+    cs += [sd[f"stage{k}.1.net.0.weight"].shape[2] for k in range(1, 5)]
+    cs += [sd[f"up{j}.0.net.0.weight"].shape[2] for j in range(1, 5)]
+    cls = MinkowskiNet if model_name == "minkowskinet" else SPVCNN
+    model = cls(
+        layer_num=tuple(cs),
+        cr=1.0,
+        input_dims=sd["stem.0.weight"].shape[1],
+        num_classes=sd["classifier.0.bias"].shape[0],
+        voxel_size=_EVAL_VOXEL_SIZE,
+        max_voxels=max_points,
+    )
+    return model, convert_torchsparse_state_dict(sd)
+
+
+def _sparse_descriptors(clouds, model_name, data, root, max_points):
+    """Per-cloud 16-sector depth descriptors from a pretrained sparse
+    backbone (cf. ``metric_utils.compute_logits`` voxel/point_voxel paths)."""
+    from .extractor.sparse_unet import make_sparse_descriptor_fn
+
+    dataset = _TYPE2DATASET[data]
+    depth_range = _DEPTH_RANGE[dataset]
+    from pathlib import Path
+
+    model, params = _load_sparse_backbone(
+        model_name, Path(root) / dataset / model_name, max_points
+    )
+    describe = make_sparse_descriptor_fn(
+        model, params, agg_type="depth", depth_range=depth_range
+    )
+    out = []
+    for pts in clouds:
+        pts = np.asarray(pts, np.float32)[:, :3]
+        depth = np.linalg.norm(pts, 2, axis=1)
+        pts = pts[(depth > depth_range[0]) & (depth < depth_range[1])][:max_points]
+        pad = np.zeros((max_points, 3), np.float32)
+        pad[: len(pts)] = pts
+        feats = np.concatenate([pad, -np.ones((max_points, 1), np.float32)], 1)
+        mask = np.arange(max_points) < len(pts)
+        out.append(
+            np.asarray(describe(jnp.asarray(pad), jnp.asarray(feats), jnp.asarray(mask)))
+        )
+    return np.stack(out)
+
+
 def evaluate(
     reference,
     samples,
@@ -70,20 +140,33 @@ def evaluate(
     data: str = "32",
     features: dict | None = None,
     verbose: bool = True,
+    pretrained_root: str | None = None,
+    max_points: int = 32768,
 ) -> dict:
     """cf. ``eval_utils.evaluate`` (:18-37).  ``features`` may carry
     precomputed perceptual logits: {'range': (ref, gen), 'voxel': ...,
-    'point_voxel': ...} for frid/fsvd/fpvd."""
+    'point_voxel': ...} for frid/fsvd/fpvd; otherwise fsvd/fpvd load the
+    pretrained sparse backbone from ``pretrained_root`` (layout
+    ``{root}/{dataset}/{model}/model.ckpt``, cf. ``metrics/__init__.py:23``
+    DEFAULT_ROOT) and extract descriptors on the fly."""
     results = {}
     features = features or {}
     modality = {"frid": "range", "fsvd": "voxel", "fpvd": "point_voxel"}
+    backbone = {"fsvd": "minkowskinet", "fpvd": "spvcnn"}
     for name in metrics:
         if name in modality:
             feats = features.get(modality[name])
+            if feats is None and name in backbone and pretrained_root:
+                feats = tuple(
+                    _sparse_descriptors(
+                        clouds, backbone[name], data, pretrained_root, max_points
+                    )
+                    for clouds in (reference, samples)
+                )
             if feats is None:
                 raise ValueError(
                     f"{name} needs precomputed '{modality[name]}' features "
-                    "(perceptual backbone ports pending)"
+                    "or a --pretrained-root with the eval checkpoints"
                 )
             results[name] = compute_fd(*feats)
         elif name == "cd":

@@ -114,3 +114,30 @@ def test_sparse_downsample_matches_dense():
     for c, v in zip(oc, ov):
         got[c[0], c[1], c[2]] = v
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_upsample_inverts_geometry():
+    from lidarcrafter_tpu.ops.sparse import sparse_upsample2
+
+    rng = np.random.RandomState(3)
+    Cin, Cout = 2, 2
+    coarse_coords = np.array([[0, 0, 0], [1, 1, 1]], np.int32)
+    fine_coords = np.array([[0, 0, 0], [1, 0, 0], [2, 2, 2], [3, 3, 3]], np.int32)
+    V = 8
+    cc = np.zeros((V, 3), np.int32); cc[:2] = coarse_coords
+    fc = np.zeros((V, 3), np.int32); fc[:4] = fine_coords
+    cm = np.arange(V) < 2
+    fm = np.arange(V) < 4
+    feats = np.zeros((V, Cin), np.float32)
+    feats[0] = [1.0, 2.0]
+    feats[1] = [3.0, 4.0]
+    # identity-per-tap kernel
+    kernel = np.tile(np.eye(Cin, Cout, dtype=np.float32)[None], (8, 1, 1))
+    out = np.asarray(
+        sparse_upsample2(jnp.asarray(feats), jnp.asarray(cc), jnp.asarray(cm),
+                         jnp.asarray(fc), jnp.asarray(fm), jnp.asarray(kernel))
+    )
+    # fine sites (0,0,0) & (1,0,0) read parent (0,0,0); (2,2,2)&(3,3,3) read (1,1,1)
+    np.testing.assert_allclose(out[0], [1, 2]); np.testing.assert_allclose(out[1], [1, 2])
+    np.testing.assert_allclose(out[2], [3, 4]); np.testing.assert_allclose(out[3], [3, 4])
+    np.testing.assert_allclose(out[4:], 0)

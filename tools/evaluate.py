@@ -23,6 +23,8 @@ def _load_dir(d, limit=None):
     for f in files:
         arr = np.load(f) if f.suffix == ".npy" else np.loadtxt(f)
         out.append(arr[:, :3].astype(np.float32))
+    if not out:
+        raise SystemExit(f"no .txt/.npy point files found in {d}")
     return out
 
 
@@ -34,13 +36,19 @@ def main():
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--data", default="32", choices=["32", "64"])
     parser.add_argument("-o", "--output", default=None)
+    parser.add_argument("--pretrained-root", default=None,
+                        help="eval-backbone checkpoints dir for fsvd/fpvd "
+                             "({root}/{dataset}/{model}/model.ckpt)")
+    parser.add_argument("--sparse-max-points", type=int, default=32768)
     args = parser.parse_args()
 
     from lidarcrafter_tpu.metrics import evaluate
 
     real = _load_dir(args.real, args.limit)
     gen = _load_dir(args.gen, args.limit)
-    results = evaluate(real, gen, metrics=args.metrics, data=args.data)
+    results = evaluate(real, gen, metrics=args.metrics, data=args.data,
+                       pretrained_root=args.pretrained_root,
+                       max_points=args.sparse_max_points)
     if args.output:
         import json
 
