@@ -8,6 +8,7 @@ from .hdit import HDiT
 from .efficient_unet import EfficientUNet, EfficientUNetCond, MFEfficientUNet
 from .layout_encoder import LayoutTransformerEncoder, LayoutTransformerEncoderV5
 from .layout_unet import LayoutUnetV1
+from .openai_unet import OpenAIUNet
 from .point_unet import ObjectGenEncoder, PointUNet
 from .scene_graph import SceneGraph
 from .refinenet import LiDARGenRefineNet
@@ -28,6 +29,7 @@ __all_models__ = {
     "point_unet": PointUNet,
     "hdit": HDiT,
     "refinenet": LiDARGenRefineNet,
+    "openai_unet": OpenAIUNet,
 }
 
 
