@@ -102,3 +102,96 @@ def stack_three_nn(
         padded_to_stack(dist, u_m, total),
         padded_to_stack(flat_idx, u_m, total),
     )
+
+
+def voxel_indices_grid(
+    coords_bzyx: jnp.ndarray,
+    grid_shape: tuple[int, int, int, int],
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(N, 4) [b, z, y, x] voxel coords → dense (B, Z, Y, X) int32 grid of
+    flat point/voxel row indices (-1 = empty); the ``voxel2point_indices``
+    input of the reference's voxel query
+    (``pointnet2_stack/voxel_query_utils.py:13-47``)."""
+    N = coords_bzyx.shape[0]
+    if mask is None:
+        mask = jnp.ones((N,), bool)
+    B, Z, Y, X = grid_shape
+    c = coords_bzyx.astype(jnp.int32)
+    inb = (
+        mask
+        & (c[:, 0] >= 0) & (c[:, 0] < B)
+        & (c[:, 1] >= 0) & (c[:, 1] < Z)
+        & (c[:, 2] >= 0) & (c[:, 2] < Y)
+        & (c[:, 3] >= 0) & (c[:, 3] < X)
+    )
+    flat = ((c[:, 0] * Z + c[:, 1]) * Y + c[:, 2]) * X + c[:, 3]
+    flat = jnp.where(inb, flat, B * Z * Y * X)
+    grid = jnp.full((B * Z * Y * X,), -1, jnp.int32)
+    grid = grid.at[flat].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
+    return grid.reshape(B, Z, Y, X)
+
+
+@partial(jax.jit, static_argnames=("query_range", "radius", "nsample"))
+def voxel_query(
+    new_coords_bzyx: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    xyz: jnp.ndarray,
+    point_indices: jnp.ndarray,
+    query_range: tuple[int, int, int] = (1, 1, 1),
+    radius: float = 1.0,
+    nsample: int = 16,
+    new_mask: jnp.ndarray | None = None,
+):
+    """Voxel-neighborhood ball query (``voxel_query_gpu.cu`` kernel,
+    ``voxel_query_utils.py:10-47``): for each keypoint, scan the static
+    (2*zr+1)x(2*yr+1)x(2*xr+1) voxel window around its coord in dz,dy,dx
+    order, gather the grid's point index, keep the first ``nsample`` within
+    ``radius``; empty windows fill with the first hit (kernel lines 69-75)
+    and flag ``empty_mask``.
+
+    Returns (idx (M, nsample) FLAT rows into the stacked ``xyz`` — the
+    reference converts to per-batch indices for its grouping op, ours gather
+    directly — and empty_mask (M,)).
+    """
+    import numpy as np
+
+    M = new_coords_bzyx.shape[0]
+    if new_mask is None:
+        new_mask = jnp.ones((M,), bool)
+    B, Z, Y, X = point_indices.shape
+    zr, yr, xr = query_range
+    offs = np.array(
+        [
+            (dz, dy, dx)
+            for dz in range(-zr, zr + 1)
+            for dy in range(-yr, yr + 1)
+            for dx in range(-xr, xr + 1)
+        ],
+        np.int32,
+    )
+    c = new_coords_bzyx[:, 1:].astype(jnp.int32)[:, None, :] + offs[None]  # (M,K,3)
+    b = new_coords_bzyx[:, 0].astype(jnp.int32)
+    inb = (
+        (c[..., 0] >= 0) & (c[..., 0] < Z)
+        & (c[..., 1] >= 0) & (c[..., 1] < Y)
+        & (c[..., 2] >= 0) & (c[..., 2] < X)
+        & new_mask[:, None]
+    )
+    flat = ((b[:, None] * Z + c[..., 0]) * Y + c[..., 1]) * X + c[..., 2]
+    nbr = jnp.where(inb, point_indices.reshape(-1)[jnp.clip(flat, 0)], -1)
+    d2 = jnp.sum(
+        (xyz[jnp.clip(nbr, 0)] - new_xyz[:, None, :]) ** 2, axis=-1
+    )
+    valid = (nbr >= 0) & (d2 <= radius * radius) & inb
+
+    cnt = jnp.cumsum(valid, axis=1)
+    slot = jnp.where(valid & (cnt <= nsample), cnt - 1, nsample)
+    first_pos = jnp.argmax(valid, axis=1)
+    first_val = jnp.take_along_axis(nbr, first_pos[:, None], axis=1)[:, 0]
+    empty_mask = ~jnp.any(valid, axis=1)
+    fill = jnp.where(empty_mask, 0, first_val)
+    out = jnp.broadcast_to(fill[:, None], (M, nsample + 1)).astype(jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(M)[:, None], slot.shape)
+    out = out.at[rows, slot].set(nbr.astype(jnp.int32), mode="drop")
+    return out[:, :nsample], empty_mask

@@ -263,3 +263,90 @@ def test_pallas_chamfer_matches_lax():
     d1, d2, _, _ = chamfer_distance(jnp.asarray(xb), jnp.asarray(yb), chunk=32)
     np.testing.assert_allclose(np.asarray(d1p), np.asarray(d1), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(d2p), np.asarray(d2), rtol=1e-4, atol=1e-4)
+
+
+def test_voxel_indices_grid_and_query():
+    """voxel_query semantics vs a numpy replay of the CUDA kernel loop."""
+    from lidarcrafter_tpu.ops.stack import voxel_indices_grid, voxel_query
+
+    rng = np.random.RandomState(11)
+    N, B, Z, Y, X = 40, 2, 4, 5, 6
+    coords = np.stack(
+        [
+            rng.randint(0, B, N),
+            rng.randint(0, Z, N),
+            rng.randint(0, Y, N),
+            rng.randint(0, X, N),
+        ],
+        1,
+    ).astype(np.int32)
+    # dedupe voxels (grid stores one row per cell)
+    _, keep = np.unique(
+        coords[:, 0] * 1000 + coords[:, 1] * 100 + coords[:, 2] * 10 + coords[:, 3],
+        return_index=True,
+    )
+    coords = coords[np.sort(keep)]
+    N = len(coords)
+    xyz = coords[:, [3, 2, 1]].astype(np.float32) + rng.rand(N, 3).astype(np.float32) * 0.3
+
+    grid = np.asarray(voxel_indices_grid(jnp.asarray(coords), (B, Z, Y, X)))
+    for i, c in enumerate(coords):
+        assert grid[c[0], c[1], c[2], c[3]] == i
+
+    M, S, R = 10, 4, 1.6
+    qsel = rng.choice(N, M, replace=False)
+    new_coords = coords[qsel]
+    new_xyz = xyz[qsel] + 0.1
+    idx, empty = voxel_query(
+        jnp.asarray(new_coords), jnp.asarray(new_xyz), jnp.asarray(xyz),
+        jnp.asarray(grid), query_range=(1, 1, 1), radius=R, nsample=S,
+    )
+    idx, empty = np.asarray(idx), np.asarray(empty)
+
+    for m in range(M):
+        found = []
+        for dz in range(-1, 2):
+            for dy in range(-1, 2):
+                for dx in range(-1, 2):
+                    z, y, x = new_coords[m, 1] + dz, new_coords[m, 2] + dy, new_coords[m, 3] + dx
+                    if not (0 <= z < Z and 0 <= y < Y and 0 <= x < X):
+                        continue
+                    j = grid[new_coords[m, 0], z, y, x]
+                    if j < 0:
+                        continue
+                    if np.sum((xyz[j] - new_xyz[m]) ** 2) <= R * R:
+                        found.append(j)
+        if not found:
+            assert empty[m]
+        else:
+            assert not empty[m]
+            want = (found + [found[0]] * S)[:S]
+            np.testing.assert_array_equal(idx[m], want)
+
+
+def test_neighbor_voxel_sa_pool_shapes():
+    from lidarcrafter_tpu.models.voxel_pool import NeighborVoxelSAPool
+    from lidarcrafter_tpu.ops.stack import voxel_indices_grid
+
+    rng = np.random.RandomState(12)
+    N, B, Z, Y, X, C = 30, 1, 4, 4, 4, 8
+    coords = np.unique(
+        np.stack([np.zeros(N, np.int32), rng.randint(0, Z, N),
+                  rng.randint(0, Y, N), rng.randint(0, X, N)], 1),
+        axis=0,
+    )
+    N = len(coords)
+    xyz = coords[:, [3, 2, 1]].astype(np.float32)
+    feats = rng.randn(N, C).astype(np.float32)
+    grid = voxel_indices_grid(jnp.asarray(coords), (B, Z, Y, X))
+    new_coords = coords[:, [0, 3, 2, 1]][:5]  # module reorders back to bzyx
+    model = NeighborVoxelSAPool(
+        query_ranges=[[1, 1, 1], [2, 2, 2]], radii=[2.0, 4.0],
+        nsamples=[4, 8], mlps=[[C, 16, 12], [C, 16, 20]],
+    )
+    args = (jnp.asarray(xyz), jnp.asarray(xyz[:5]), jnp.asarray(new_coords),
+            jnp.asarray(feats), grid)
+    params = model.init(jax.random.PRNGKey(0), *args)
+    out = model.apply(params, *args)
+    assert out.shape == (5, 32)
+    assert np.isfinite(np.asarray(out)).all()
