@@ -195,3 +195,97 @@ def voxel_query(
     rows = jnp.broadcast_to(jnp.arange(M)[:, None], slot.shape)
     out = out.at[rows, slot].set(nbr.astype(jnp.int32), mode="drop")
     return out[:, :nsample], empty_mask
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_grid", "num_c_each", "use_xyz", "neighbor_type", "nsample", "chunk"
+    ),
+)
+def vector_pool(
+    support_xyz: jnp.ndarray,
+    support_feats: jnp.ndarray,
+    support_mask: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    new_mask: jnp.ndarray,
+    num_grid: tuple[int, int, int] = (3, 3, 3),
+    max_neighbour_distance: float = 1.0,
+    num_c_each: int = 8,
+    use_xyz: bool = True,
+    neighbor_type: int = 0,
+    nsample: int = -1,
+    chunk: int = 256,
+):
+    """PV-RCNN++ vector pooling (``vector_pool_kernel_stack``,
+    ``pointnet2_stack/src/vector_pool_gpu.cu:243-345`` via
+    ``VectorPoolWithVoxelQuery``, ``pointnet2_utils.py:360-453``).
+
+    Each center's local cube ``[-d, d]^3`` splits into ``gx*gy*gz`` sub-voxels;
+    neighbors (cube if ``neighbor_type`` 0, ball if 1; first ``nsample`` in
+    point order when >0) average their features per sub-voxel with input
+    channels folded modulo ``num_c_each`` (kernel line 326).
+
+    Returns (new_features (M, G*num_c_each), new_local_xyz (M, G*3),
+    point_cnt (M, G)) — averaged like the python wrapper's normalizer.
+    """
+    gx, gy, gz = num_grid
+    G = gx * gy * gz
+    d = max_neighbour_distance
+    N, C = support_feats.shape
+    M = new_xyz.shape[0]
+    k_fold = C // num_c_each
+    folded = jnp.where(
+        support_mask[:, None],
+        support_feats.reshape(N, k_fold, num_c_each).sum(1),
+        0.0,
+    )
+    gsx, gsy, gsz = 2 * d / gx, 2 * d / gy, 2 * d / gz
+
+    def one_block(args):
+        nx, nm = args  # (Mb, 3), (Mb,)
+        local = support_xyz[None] - nx[:, None]          # (Mb, N, 3)
+        if neighbor_type == 1:
+            near = jnp.sum(local**2, -1) <= d * d
+        else:
+            near = jnp.all(jnp.abs(local) <= d, -1)
+        near = near & support_mask[None] & nm[:, None]
+        if nsample > 0:
+            near = near & (jnp.cumsum(near, axis=1) <= nsample)
+        gi = (
+            jnp.floor((local[..., 0] + d) / gsx).astype(jnp.int32) * (gy * gz)
+            + jnp.floor((local[..., 1] + d) / gsy).astype(jnp.int32) * gz
+            + jnp.floor((local[..., 2] + d) / gsz).astype(jnp.int32)
+        )
+        gi = jnp.clip(gi, 0, G - 1)
+        Mb = nx.shape[0]
+        seg = jnp.where(near, jnp.arange(Mb)[:, None] * G + gi, Mb * G)
+        seg = seg.reshape(-1)
+        feats = jnp.broadcast_to(folded[None], (Mb, N, num_c_each)).reshape(-1, num_c_each)
+        feats = feats * near.reshape(-1, 1)
+        sums = jax.ops.segment_sum(feats, seg, num_segments=Mb * G + 1)[:-1]
+        cnts = jax.ops.segment_sum(
+            near.reshape(-1).astype(jnp.float32), seg, num_segments=Mb * G + 1
+        )[:-1]
+        lxyz = jax.ops.segment_sum(
+            (local * near[..., None]).reshape(-1, 3), seg, num_segments=Mb * G + 1
+        )[:-1]
+        norm = jnp.maximum(cnts, 1e-6)[:, None]
+        return (
+            (sums / norm).reshape(Mb, G * num_c_each),
+            ((lxyz / norm) if use_xyz else lxyz).reshape(Mb, G * 3),
+            cnts.reshape(Mb, G),
+        )
+
+    pad = (-M) % chunk
+    nxp = jnp.pad(new_xyz, ((0, pad), (0, 0)))
+    nmp = jnp.pad(new_mask, (0, pad))
+    nb = (M + pad) // chunk
+    feats_o, lxyz_o, cnt_o = jax.lax.map(
+        one_block, (nxp.reshape(nb, chunk, 3), nmp.reshape(nb, chunk))
+    )
+    return (
+        feats_o.reshape(-1, G * num_c_each)[:M],
+        lxyz_o.reshape(-1, G * 3)[:M],
+        cnt_o.reshape(-1, G)[:M],
+    )

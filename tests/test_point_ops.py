@@ -350,3 +350,46 @@ def test_neighbor_voxel_sa_pool_shapes():
     out = model.apply(params, *args)
     assert out.shape == (5, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vector_pool_matches_numpy_replay():
+    """vector_pool vs a numpy replay of vector_pool_kernel_stack."""
+    from lidarcrafter_tpu.ops.stack import vector_pool
+
+    rng = np.random.RandomState(13)
+    N, M, C, Ce = 50, 7, 6, 3
+    gx = gy = gz = 2
+    G, d = gx * gy * gz, 1.5
+    xyz = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    feats = rng.randn(N, C).astype(np.float32)
+    smask = np.arange(N) < 45
+    centers = rng.uniform(-3, 3, (M, 3)).astype(np.float32)
+    nmask = np.arange(M) < 6
+
+    nf, nl, cnt = vector_pool(
+        jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(smask),
+        jnp.asarray(centers), jnp.asarray(nmask),
+        num_grid=(gx, gy, gz), max_neighbour_distance=d, num_c_each=Ce,
+        chunk=4,
+    )
+    nf, nl, cnt = np.asarray(nf), np.asarray(nl), np.asarray(cnt)
+
+    folded = feats.reshape(N, C // Ce, Ce).sum(1)
+    for m in range(M):
+        want_f = np.zeros((G, Ce)); want_x = np.zeros((G, 3)); want_c = np.zeros(G)
+        if nmask[m]:
+            for k in range(N):
+                if not smask[k]:
+                    continue
+                loc = xyz[k] - centers[m]
+                if np.any(np.abs(loc) > d):
+                    continue
+                gi = (int((loc[0] + d) // (2 * d / gx)) * gy * gz
+                      + int((loc[1] + d) // (2 * d / gy)) * gz
+                      + int((loc[2] + d) // (2 * d / gz)))
+                gi = min(max(gi, 0), G - 1)
+                want_f[gi] += folded[k]; want_x[gi] += loc; want_c[gi] += 1
+        norm = np.maximum(want_c, 1e-6)[:, None]
+        np.testing.assert_allclose(nf[m], (want_f / norm).reshape(-1), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(nl[m], (want_x / norm).reshape(-1), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(cnt[m], want_c)
