@@ -76,3 +76,45 @@ def make_segmentation_train_step(
         return params, opt_state, loss
 
     return step
+
+
+def rangenet_class_weights(num_class: int = 17, epsilon_w: float = 0.001) -> jnp.ndarray:
+    """Inverse-frequency weights with void class 0 zeroed; cf.
+    ``train_nusc_rangenet_sementic.py:74-76`` (uniform content prior)."""
+    content = jnp.full((num_class,), 1.0 / (num_class - 1))
+    w = 1.0 / (content + epsilon_w)
+    return w.at[0].set(0.0)
+
+
+def warmup_exp_decay_schedule(
+    lr: float, warmup_steps: int, decay: float
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """0 → lr linearly over ``warmup_steps``, then ``*= decay`` per step;
+    cf. ``rangenet/common/warmupLR.py:6-36``."""
+    warmup_steps = max(warmup_steps, 1)
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        ramp = jnp.minimum(step / warmup_steps, 1.0)
+        dec = decay ** jnp.maximum(step - warmup_steps, 0.0)
+        return lr * ramp * dec
+
+    return sched
+
+
+def make_rangenet_optimizer(
+    lr: float = 0.01,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+    warmup_steps: int = 1000,
+    decay: float = 0.9995,
+) -> optax.GradientTransformation:
+    """SGD + momentum + weight decay under the warmup/exp-decay schedule;
+    cf. ``train_nusc_rangenet_sementic.py:106-121``."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(
+            learning_rate=warmup_exp_decay_schedule(lr, warmup_steps, decay),
+            momentum=momentum,
+        ),
+    )
