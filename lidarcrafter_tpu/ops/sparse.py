@@ -63,8 +63,11 @@ def voxelize(
     write = jnp.where(first, slot, max_voxels)
     coords_out = coords_out.at[write].set(vox[order], mode="drop")
     src_out = src_out.at[write].set(order.astype(jnp.int32), mode="drop")
-    # point → voxel slot (invert the sort)
-    inv = jnp.zeros((N,), jnp.int32).at[order].set(slot.astype(jnp.int32))
+    # point → voxel slot (invert the sort); slots past the voxel budget
+    # clamp to the last slot so downstream gathers stay in bounds.
+    inv = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.minimum(slot, max_voxels - 1).astype(jnp.int32)
+    )
     inv = jnp.where(point_mask, inv, max_voxels - 1)
     return coords_out, src_out, vmask, inv
 
