@@ -311,3 +311,156 @@ class ObjectTrainer(Trainer):
             if checkpoint_every and step % checkpoint_every == 0:
                 save_checkpoint(str(self.output_dir / f"ckpt_{step:010d}"), state, self.cfg)
         return state
+
+
+def pad_layout_batch(collated: dict, max_nodes: int, max_edges: int) -> dict:
+    """Collated scene-graph batch (decoder side of
+    :func:`~lidarcrafter_tpu.datasets.scene_graph.collate_scene_graphs`) →
+    fixed-shape engine input (static node/edge budgets for jit).
+
+    Padded nodes carry zero loss weight (boxes[:, 20:] = 0) and scene_id 0;
+    padded triples point at node 0 with ``edge_mask`` False.
+    """
+    dec = collated["decoder"] if "decoder" in collated else collated
+    boxes = np.asarray(dec["boxes"], np.float32)
+    objs = np.asarray(dec["objs"], np.int64)
+    triples = np.asarray(dec.get("tripltes", dec.get("triples")), np.int64).reshape(-1, 3)
+    n, e = len(objs), len(triples)
+    if n > max_nodes or e > max_edges:
+        raise ValueError(f"batch ({n} nodes, {e} edges) exceeds budgets "
+                         f"({max_nodes}, {max_edges})")
+    D = boxes.shape[1]
+    boxes_p = np.zeros((max_nodes, D), np.float32)
+    boxes_p[:n] = boxes
+    objs_p = np.zeros((max_nodes,), np.int64)
+    objs_p[:n] = objs
+    scene_p = np.zeros((max_nodes,), np.int64)
+    scene_p[:n] = np.asarray(dec["obj_to_scene"], np.int64)
+    tf = np.asarray(dec["text_feats"], np.float32)
+    rf = np.asarray(dec["rel_feats"], np.float32)
+    tf_p = np.zeros((max_nodes, tf.shape[1] if tf.ndim == 2 else 512), np.float32)
+    rf_p = np.zeros((max_edges, rf.shape[1] if rf.ndim == 2 else 512), np.float32)
+    if n:
+        tf_p[:n] = tf
+    if e:
+        rf_p[:e] = rf
+    trip_p = np.zeros((max_edges, 3), np.int64)
+    trip_p[:e] = triples
+    return {
+        "boxes": jnp.asarray(boxes_p),
+        "scene_ids": jnp.asarray(scene_p),
+        "scenegraph": {
+            "objs": jnp.asarray(objs_p),
+            "triples": jnp.asarray(trip_p),
+            "text_feats": jnp.asarray(tf_p),
+            "rel_feats": jnp.asarray(rf_p),
+            "edge_mask": jnp.asarray(np.arange(max_edges) < e),
+        },
+    }
+
+
+class LayoutTrainer(Trainer):
+    """Scene-graph → 1D layout diffusion trainer (nuscenes-layout);
+    cf. ``tools/train/train_layout.py:29-213``.  ``data_iter`` yields
+    collated scene-graph batches (``collate_scene_graphs`` format)."""
+
+    def __init__(self, cfg, data_iter, max_nodes: int = 64,
+                 max_edges: int = 128, **kw):
+        super(Trainer, self).__init__()
+        from .factory import build_layout_training
+
+        self.cfg = cfg
+        self.data_iter = data_iter
+        self.max_nodes, self.max_edges = max_nodes, max_edges
+        self.log_fn = kw.get("log_fn", print)
+        self.output_dir = Path(kw.get("output_dir") or cfg.training.output_dir)
+        self.models, self.engine, self.lidar_utils = build_layout_training(
+            cfg,
+            num_objs=kw.get("num_objs", 9),
+            num_preds=kw.get("num_preds", 16),
+        )
+        self.is_cond = True
+        self.mesh = kw.get("mesh") or make_mesh(sp=1)
+        self.tx = make_optimizer(
+            lr=cfg.training.lr,
+            warmup_steps=cfg.training.lr_warmup_steps,
+            num_steps=cfg.training.num_steps,
+        )
+
+    def init_state(self, rng):
+        g = {
+            "objs": jnp.zeros((self.max_nodes,), jnp.int64),
+            "triples": jnp.zeros((self.max_edges, 3), jnp.int64),
+            "text_feats": jnp.zeros((self.max_nodes, 512)),
+            "rel_feats": jnp.zeros((self.max_edges, 512)),
+            "edge_mask": jnp.zeros((self.max_edges,), bool),
+        }
+        r1, r2 = jax.random.split(rng)
+        cond_params = self.models["cond"].init(
+            r1, g["objs"], g["triples"], g["text_feats"], g["rel_feats"],
+            edge_mask=g["edge_mask"],
+        )
+        _, obj_embed = self.models["cond"].apply(
+            cond_params, g["objs"], g["triples"], g["text_feats"],
+            g["rel_feats"], edge_mask=g["edge_mask"],
+        )
+        cd = {
+            "time_condition": jnp.zeros((self.max_nodes,)),
+            "other_condition": {
+                "preds": g["triples"],
+                "uc_b": obj_embed,
+                "edge_mask": g["edge_mask"],
+            },
+        }
+        D = self.cfg.model.params.get("in_channels", 20)
+        model_params = self.models["model"].init(
+            r2, jnp.zeros((self.max_nodes, D)), cd
+        )
+        return TrainState.create(
+            {"model": model_params, "cond": cond_params}, self.tx
+        )
+
+    def train(self, num_steps=None, rng=None, state=None, checkpoint_every=None):
+        import optax
+
+        from .ema import ema_update
+
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.training.seed)
+        num_steps = num_steps or self.cfg.training.num_steps
+        if state is None:
+            state = self.init_state(rng)
+        engine, tx, cfg = self.engine, self.tx, self.cfg
+        B = cfg.training.batch_size_train
+
+        @jax.jit
+        def step_fn(state, batch, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(params):
+                return engine.loss(params, step_rng, batch, num_scenes=B)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_params = ema_update(
+                state.ema_params, params, state.step,
+                beta=cfg.training.ema_decay,
+                update_every=cfg.training.ema_update_every,
+                update_after_step=cfg.training.lr_warmup_steps,
+            )
+            return state.replace(
+                step=state.step + 1, params=params,
+                ema_params=ema_params, opt_state=opt_state,
+            ), loss
+
+        while int(jax.device_get(state.step)) < num_steps:
+            batch = next(self.data_iter)
+            if "scenegraph" not in batch:
+                batch = pad_layout_batch(batch, self.max_nodes, self.max_edges)
+            state, loss = step_fn(state, batch, rng)
+            step = int(jax.device_get(state.step))
+            if self.log_fn is not None and (step % 50 == 0 or step <= 2):
+                self.log_fn({"step": step, "loss": float(jax.device_get(loss))})
+            if checkpoint_every and step % checkpoint_every == 0:
+                save_checkpoint(str(self.output_dir / f"ckpt_{step:010d}"), state, self.cfg)
+        return state

@@ -129,3 +129,40 @@ def test_config_registry():
     assert cfg.diffusion.num_sampling_steps == 1024
     assert cfg.model.architecture == "efficient_unet"
     assert cfg.training.ema_decay == 0.995
+
+
+def test_layout_trainer_steps():
+    """LayoutTrainer: two jitted steps on padded synthetic scene graphs."""
+    from lidarcrafter_tpu.configs import get_config
+    from lidarcrafter_tpu.training.loop import LayoutTrainer, pad_layout_batch
+
+    cfg = get_config("nuscenes-layout")
+    cfg.model.params["model_channels"] = 32
+    cfg.training.batch_size_train = 2
+
+    rng = np.random.RandomState(0)
+
+    def batches():
+        while True:
+            n, e = 8, 10
+            dec = {
+                "objs": rng.randint(0, 9, n),
+                "boxes": rng.randn(n, 40).astype(np.float32),
+                "tripltes": np.stack(
+                    [rng.randint(0, n, e), rng.randint(0, 16, e), rng.randint(0, n, e)], 1
+                ),
+                "obj_to_scene": np.repeat([0, 1], n // 2),
+                "text_feats": rng.randn(n, 512).astype(np.float32),
+                "rel_feats": rng.randn(e, 512).astype(np.float32),
+            }
+            yield {"decoder": dec}
+
+    trainer = LayoutTrainer(cfg, batches(), max_nodes=16, max_edges=24, log_fn=None)
+    state = trainer.train(num_steps=2, checkpoint_every=0)
+    assert int(jax.device_get(state.step)) == 2
+
+    # padding semantics: pad nodes carry zero loss weight
+    b = pad_layout_batch(next(batches()), 16, 24)
+    assert b["boxes"].shape == (16, 40)
+    assert float(jnp.abs(b["boxes"][8:]).max()) == 0.0
+    assert not bool(b["scenegraph"]["edge_mask"][10])

@@ -59,7 +59,12 @@ def main():
 
     from lidarcrafter_tpu.configs import get_config
     from lidarcrafter_tpu.parallel import make_mesh
-    from lidarcrafter_tpu.training.loop import FlowTrainer, ObjectTrainer, Trainer
+    from lidarcrafter_tpu.training.loop import (
+        FlowTrainer,
+        LayoutTrainer,
+        ObjectTrainer,
+        Trainer,
+    )
 
     cfg = get_config(args.cfg)
     if args.batch_size:
@@ -69,6 +74,22 @@ def main():
     if getattr(cfg, "flow", None) is not None:
         data = synthetic_batches(cfg) if args.synthetic_data else real_batches(cfg)
         trainer = FlowTrainer(cfg, data, mesh=mesh, output_dir=args.output_dir)
+    elif getattr(cfg.data, "task", None) == "layout_generation" and cfg.model.architecture == "unet_1d":
+        from lidarcrafter_tpu.datasets import __all_datasets__
+        from lidarcrafter_tpu.datasets.scene_graph import collate_scene_graphs
+
+        ds = __all_datasets__[cfg.data.dataset](cfg)
+        import numpy as np
+
+        def layout_batches():
+            B = cfg.training.batch_size_train
+            order = np.random.permutation(len(ds))
+            while True:
+                for i in range(0, len(order) - B + 1, B):
+                    yield collate_scene_graphs([ds[j] for j in order[i : i + B]])
+                order = np.random.permutation(len(ds))
+
+        trainer = LayoutTrainer(cfg, layout_batches(), mesh=mesh, output_dir=args.output_dir)
     elif getattr(cfg.data, "task", None) == "object_generation":
         import numpy as np
         import pickle
