@@ -157,3 +157,153 @@ def ingest_efficient_unet_checkpoint(path: str, use_ema: bool = True):
             )
             return convert_efficient_unet(sub, attn_num_heads=heads), cfg
     raise ValueError("could not locate EfficientUNet weights in checkpoint")
+
+
+# --------------------------------------------------------------- layout family
+
+
+def _gn(sd, prefix):
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _lin(sd, prefix):
+    return {"kernel": _linear(np.asarray(sd[f"{prefix}.weight"])),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _conv1d_as_dense(sd, prefix):
+    """torch 1D conv (O, I, 1) → flax Dense (I, O)."""
+    w = np.asarray(sd[f"{prefix}.weight"])[..., 0]
+    return {"kernel": w.T, "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _conv3(sd, prefix):
+    return {"Conv_0": {"kernel": _conv(np.asarray(sd[f"{prefix}.weight"])),
+                       "bias": np.asarray(sd[f"{prefix}.bias"])}}
+
+
+def _adm_resblock(sd, prefix):
+    """ADM ResBlock (``layout_unet_v1.py:143-249``) → ResBlockADM params."""
+    out = {
+        "in_norm": _gn(sd, f"{prefix}.in_layers.0"),
+        "in_conv": _conv3(sd, f"{prefix}.in_layers.2"),
+        "emb_proj": _lin(sd, f"{prefix}.emb_layers.1"),
+        "out_norm": _gn(sd, f"{prefix}.out_layers.0"),
+        "out_conv": _conv3(sd, f"{prefix}.out_layers.3"),
+    }
+    if f"{prefix}.skip_connection.weight" in sd:
+        out["skip"] = _conv3(sd, f"{prefix}.skip_connection")
+    return out
+
+
+def _object_aware_attn(sd, prefix):
+    """ObjectAwareCrossAttention (``layout_unet_v1.py:347-553``); all 1D convs
+    become Dense (token-last layout)."""
+    out = {
+        "norm_for_qkv": _gn(sd, f"{prefix}.norm_for_qkv"),
+        "qkv_projector": _conv1d_as_dense(sd, f"{prefix}.qkv_projector"),
+        "layout_content_embedding_projector": _conv1d_as_dense(
+            sd, f"{prefix}.layout_content_embedding_projector"),
+        "layout_position_embedding_projector": _conv1d_as_dense(
+            sd, f"{prefix}.layout_position_embedding_projector"),
+        "norm_for_obj_class_embedding": _gn(
+            sd, f"{prefix}.norm_for_obj_class_embedding"),
+        "norm_for_layout_positional_embedding": _gn(
+            sd, f"{prefix}.norm_for_layout_positional_embedding"),
+        "norm_for_image_patch_positional_embedding": _gn(
+            sd, f"{prefix}.norm_for_image_patch_positional_embedding"),
+        "proj_out": _conv1d_as_dense(sd, f"{prefix}.proj_out"),
+    }
+    if f"{prefix}.norm_for_obj_embedding.weight" in sd:
+        out["norm_for_obj_embedding"] = _gn(sd, f"{prefix}.norm_for_obj_embedding")
+    return out
+
+
+def convert_layout_unet(
+    sd: Mapping,
+    channel_mult=(1, 2, 4, 8),
+    num_res_blocks: int = 2,
+    attention_ds=(4, 8),
+    num_attention_blocks: int = 1,
+) -> dict:
+    """torch ``LayoutUnetV1`` state_dict → flax params for
+    :class:`~lidarcrafter_tpu.models.layout_unet.LayoutUnetV1`.
+
+    Replays the reference's block-list construction
+    (``layout_unet_v1.py:691-863``: input_blocks / middle_block /
+    output_blocks with resblock up/downsampling) to map list indices onto our
+    named modules (``in_{level}_{i}_res`` …).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = {
+        "time_embed": {"Dense_0": _lin(sd, "time_embed.0"),
+                       "Dense_1": _lin(sd, "time_embed.2")},
+        "in_conv": _conv3(sd, "input_blocks.0.0"),
+        "out_norm": _gn(sd, "out.0"),
+        "out_conv": _conv3(sd, "out.2"),
+    }
+    ds, idx = 1, 1
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            params[f"in_{level}_{i}_res"] = _adm_resblock(sd, f"input_blocks.{idx}.0")
+            if ds in attention_ds:
+                for a in range(num_attention_blocks):
+                    params[f"in_{level}_{i}_attn{a}"] = _object_aware_attn(
+                        sd, f"input_blocks.{idx}.{1 + a}")
+            idx += 1
+        if level != len(channel_mult) - 1:
+            params[f"down_{level}"] = _adm_resblock(sd, f"input_blocks.{idx}.0")
+            idx += 1
+            ds *= 2
+
+    params["mid_res1"] = _adm_resblock(sd, "middle_block.0")
+    params["mid_attn"] = _object_aware_attn(sd, "middle_block.1")
+    params["mid_res2"] = _adm_resblock(sd, "middle_block.2")
+
+    idx = 0
+    for level in reversed(range(len(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            params[f"out_{level}_{i}_res"] = _adm_resblock(sd, f"output_blocks.{idx}.0")
+            off = 1
+            if ds in attention_ds:
+                for a in range(num_attention_blocks):
+                    params[f"out_{level}_{i}_attn{a}"] = _object_aware_attn(
+                        sd, f"output_blocks.{idx}.{off + a}")
+                off += num_attention_blocks
+            if level and i == num_res_blocks:
+                params[f"up_{level}"] = _adm_resblock(sd, f"output_blocks.{idx}.{off}")
+                ds //= 2
+            idx += 1
+    return {"params": params}
+
+
+def convert_layout_encoder(sd: Mapping) -> dict:
+    """torch ``LayoutTransformerEncoder`` state_dict → flax params
+    (``layout_encoder.py:140-310``: GLIDE transformer + box embeddings)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = {
+        "transformer_proj": _lin(sd, "transformer_proj"),
+        "obj_class_embedding": {
+            "embedding": np.asarray(sd["obj_class_embedding.weight"])},
+        "obj_bbox_embedding": _lin(sd, "obj_bbox_embedding"),
+        "obj_bbox_2d_embedding": _lin(sd, "obj_bbox_2d_embedding"),
+    }
+    if "final_ln.weight" in sd:
+        params["final_ln"] = {"scale": sd["final_ln.weight"],
+                              "bias": sd["final_ln.bias"]}
+    if "positional_embedding" in sd:
+        params["positional_embedding"] = sd["positional_embedding"]
+    n = 0
+    while f"transform.resblocks.{n}.attn.c_qkv.weight" in sd:
+        p = f"transform.resblocks.{n}"
+        params[f"resblock{n}"] = {
+            "attn": {"c_qkv": _lin(sd, f"{p}.attn.c_qkv"),
+                     "c_proj": _lin(sd, f"{p}.attn.c_proj")},
+            "ln_1": {"scale": sd[f"{p}.ln_1.weight"], "bias": sd[f"{p}.ln_1.bias"]},
+            "ln_2": {"scale": sd[f"{p}.ln_2.weight"], "bias": sd[f"{p}.ln_2.bias"]},
+            "mlp_fc": _lin(sd, f"{p}.mlp.c_fc"),
+            "mlp_proj": _lin(sd, f"{p}.mlp.c_proj"),
+        }
+        n += 1
+    return {"params": params}

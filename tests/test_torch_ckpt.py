@@ -100,3 +100,171 @@ def test_param_tree_is_complete(pair):
         key = jax.tree_util.keystr(path)
         assert key in got_leaves, f"missing {key}"
         assert got_leaves[key].shape == leaf.shape, key
+
+
+def _fake_layout_unet_sd(mc, cm, nrb, attn_ds, enc_ch, in_ch, out_ch, temb, seed=0):
+    """Torch-named state_dict replaying layout_unet_v1's construction."""
+    r = np.random.RandomState(seed)
+
+    sd = {}
+
+    def lin(p, i, o):
+        sd[f"{p}.weight"] = r.randn(o, i).astype(np.float32)
+        sd[f"{p}.bias"] = r.randn(o).astype(np.float32)
+
+    def gn(p, c):
+        sd[f"{p}.weight"] = r.rand(c).astype(np.float32)
+        sd[f"{p}.bias"] = r.randn(c).astype(np.float32)
+
+    def conv3(p, i, o):
+        sd[f"{p}.weight"] = r.randn(o, i, 3, 3).astype(np.float32) * 0.05
+        sd[f"{p}.bias"] = r.randn(o).astype(np.float32)
+
+    def conv1(p, i, o):
+        sd[f"{p}.weight"] = r.randn(o, i, 1).astype(np.float32) * 0.05
+        sd[f"{p}.bias"] = r.randn(o).astype(np.float32)
+
+    def res(p, ci, co):
+        gn(f"{p}.in_layers.0", ci)
+        conv3(f"{p}.in_layers.2", ci, co)
+        lin(f"{p}.emb_layers.1", temb, 2 * co)
+        gn(f"{p}.out_layers.0", co)
+        conv3(f"{p}.out_layers.3", co, co)
+        if ci != co:
+            # skip is a 2D 1x1 conv: (O, I, 1, 1)
+            sd[f"{p}.skip_connection.weight"] = r.randn(co, ci, 1, 1).astype(np.float32)
+            sd[f"{p}.skip_connection.bias"] = r.randn(co).astype(np.float32)
+
+    def attn(p, ch):
+        gn(f"{p}.norm_for_qkv", ch)
+        conv1(f"{p}.qkv_projector", ch, 3 * ch)
+        conv1(f"{p}.layout_content_embedding_projector", enc_ch, 2 * ch)
+        conv1(f"{p}.layout_position_embedding_projector", enc_ch, ch)
+        gn(f"{p}.norm_for_obj_class_embedding", enc_ch)
+        gn(f"{p}.norm_for_layout_positional_embedding", ch)
+        gn(f"{p}.norm_for_image_patch_positional_embedding", ch)
+        conv1(f"{p}.proj_out", ch, ch)
+
+    lin("time_embed.0", mc, temb)
+    lin("time_embed.2", temb, temb)
+    conv3("input_blocks.0.0", in_ch, mc)
+    ds, idx, ch = 1, 1, mc
+    for level, mult in enumerate(cm):
+        for i in range(nrb):
+            res(f"input_blocks.{idx}.0", ch, mult * mc)
+            ch = mult * mc
+            if ds in attn_ds:
+                attn(f"input_blocks.{idx}.1", ch)
+            idx += 1
+        if level != len(cm) - 1:
+            res(f"input_blocks.{idx}.0", ch, ch)
+            idx += 1
+            ds *= 2
+    res("middle_block.0", ch, ch)
+    attn("middle_block.1", ch)
+    res("middle_block.2", ch, ch)
+    idx = 0
+    skips = [mc] + [mult * mc for mult in cm for _ in range(nrb)]
+    # reference skip channel bookkeeping: replay with a stack
+    stack = [mc]
+    d2 = 1
+    chp = mc
+    for level, mult in enumerate(cm):
+        for i in range(nrb):
+            chp = mult * mc
+            stack.append(chp)
+        if level != len(cm) - 1:
+            stack.append(chp)
+            d2 *= 2
+    for level in reversed(range(len(cm))):
+        mult = cm[level]
+        for i in range(nrb + 1):
+            ich = stack.pop()
+            res(f"output_blocks.{idx}.0", ch + ich, mult * mc)
+            ch = mult * mc
+            off = 1
+            if ds in attn_ds:
+                attn(f"output_blocks.{idx}.{off}", ch)
+                off += 1
+            if level and i == nrb:
+                res(f"output_blocks.{idx}.{off}", ch, ch)
+                ds //= 2
+            idx += 1
+    gn("out.0", ch)
+    conv3("out.2", ch, out_ch)
+    return sd
+
+
+def test_convert_layout_unet_tree_and_forward():
+    import chex
+
+    from lidarcrafter_tpu.models.layout_encoder import LayoutTransformerEncoder
+    from lidarcrafter_tpu.models.layout_unet import LayoutUnetV1
+    from lidarcrafter_tpu.utils.torch_ckpt import (
+        convert_layout_encoder,
+        convert_layout_unet,
+    )
+
+    H, W, B, L = 32, 64, 1, 13
+    enc = LayoutTransformerEncoder(
+        feature_map_size=(H, W), layout_length=L, hidden_dim=64, output_dim=256,
+        num_layers=2, num_heads=4, use_final_ln=True,
+        num_classes_for_layout_object=9, mask_size_for_layout_object=32,
+        used_condition_types=("obj_class", "obj_bbox", "is_valid_obj"),
+        resolution_to_attention=(4, 8), out_channels=11,
+    )
+    unet = LayoutUnetV1(
+        in_channels=13, resolution=(H, W), model_channels=64, out_channels=2,
+        num_res_blocks=1, attention_ds=(4, 8), encoder_channels=64,
+        channel_mult=(1, 2, 4, 8), num_head_channels=16, image_size=H,
+        use_ray_angle_coords=True,
+    )
+    r = np.random.RandomState(0)
+    cond = {
+        "scaled_gt_boxes": jnp.asarray(r.rand(B, L, 9).astype(np.float32)),
+        "gt_boxes_2d": jnp.asarray(r.rand(B, L, 4).astype(np.float32)),
+        "is_valid_obj": jnp.ones((B, L), jnp.float32),
+        "concat_cond": jnp.zeros((B, H, W, 11)),
+    }
+    ep_ref = enc.init(jax.random.PRNGKey(0), cond)
+
+    # fake torch encoder sd
+    sd_e = {}
+    re_ = np.random.RandomState(1)
+    def elin(p, i, o):
+        sd_e[f"{p}.weight"] = re_.randn(o, i).astype(np.float32)
+        sd_e[f"{p}.bias"] = re_.randn(o).astype(np.float32)
+    elin("transformer_proj", 64, 256)
+    sd_e["obj_class_embedding.weight"] = re_.randn(9, 64).astype(np.float32)
+    elin("obj_bbox_embedding", 8, 64)
+    elin("obj_bbox_2d_embedding", 4, 64)
+    sd_e["final_ln.weight"] = np.ones(64, np.float32)
+    sd_e["final_ln.bias"] = np.zeros(64, np.float32)
+    for n in range(2):
+        p = f"transform.resblocks.{n}"
+        elin(f"{p}.attn.c_qkv", 64, 192)
+        elin(f"{p}.attn.c_proj", 64, 64)
+        sd_e[f"{p}.ln_1.weight"] = np.ones(64, np.float32)
+        sd_e[f"{p}.ln_1.bias"] = np.zeros(64, np.float32)
+        sd_e[f"{p}.ln_2.weight"] = np.ones(64, np.float32)
+        sd_e[f"{p}.ln_2.bias"] = np.zeros(64, np.float32)
+        elin(f"{p}.mlp.c_fc", 64, 256)
+        elin(f"{p}.mlp.c_proj", 256, 64)
+    ep = convert_layout_encoder(sd_e)
+    chex.assert_trees_all_equal_shapes(ep_ref, ep)
+
+    layout = enc.apply(ep, cond)
+    x = jnp.zeros((B, H, W, 2))
+    cd = {"time_condition": jnp.zeros((B,)), "other_condition": layout}
+    up_ref = unet.init(jax.random.PRNGKey(1), x, cd)
+
+    sd_u = _fake_layout_unet_sd(
+        mc=64, cm=(1, 2, 4, 8), nrb=1, attn_ds=(4, 8), enc_ch=64,
+        in_ch=35, out_ch=2, temb=256,
+    )
+    up = convert_layout_unet(sd_u, channel_mult=(1, 2, 4, 8), num_res_blocks=1,
+                             attention_ds=(4, 8))
+    chex.assert_trees_all_equal_shapes(up_ref, up)
+    out = unet.apply(up, x, cd)
+    assert out.shape == (B, H, W, 2)
+    assert np.isfinite(np.asarray(out)).all()
