@@ -307,3 +307,160 @@ def convert_layout_encoder(sd: Mapping) -> dict:
         }
         n += 1
     return {"params": params}
+
+
+# ------------------------------------------------------------- unet_1d family
+
+
+def _conv1d_mid_tap(sd, prefix):
+    """torch 1D conv (O, I, k) → Dense (I, O), middle tap only.
+
+    Our :class:`~lidarcrafter_tpu.models.unet_1d.UNet1DModel` runs length-1
+    sequences in dense form: a k=3 SAME conv on L=1 multiplies taps 0 and 2
+    by zero padding, so only the middle tap carries weight."""
+    w = np.asarray(sd[f"{prefix}.weight"])
+    out = {"kernel": w[..., w.shape[-1] // 2].T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _res1d(sd, prefix):
+    out = {
+        "in_norm": _gn(sd, f"{prefix}.in_layers.0"),
+        "in_conv": _conv1d_mid_tap(sd, f"{prefix}.in_layers.2"),
+        "emb_proj": _lin(sd, f"{prefix}.emb_layers.1"),
+        "out_norm": _gn(sd, f"{prefix}.out_layers.0"),
+        "out_conv": _conv1d_mid_tap(sd, f"{prefix}.out_layers.3"),
+    }
+    if f"{prefix}.skip_connection.weight" in sd:
+        out["skip"] = _conv1d_mid_tap(sd, f"{prefix}.skip_connection")
+    return out
+
+
+def _spatial_transformer_1d(sd, prefix, depth=1):
+    """LDM SpatialTransformer1D (``attention.py:353-…``): norm + 1x1 in/out
+    projections + BasicTransformerBlocks (self-attn, cross-attn, GEGLU FF)."""
+    out = {
+        "norm": _gn(sd, f"{prefix}.norm"),
+        "proj_in": _conv1d_mid_tap(sd, f"{prefix}.proj_in"),
+        "proj_out": _conv1d_mid_tap(sd, f"{prefix}.proj_out"),
+    }
+    for d in range(depth):
+        b = f"{prefix}.transformer_blocks.{d}"
+
+        def attn(a):
+            return {
+                "to_q": {"kernel": _linear(np.asarray(sd[f"{b}.{a}.to_q.weight"]))},
+                "to_k": {"kernel": _linear(np.asarray(sd[f"{b}.{a}.to_k.weight"]))},
+                "to_v": {"kernel": _linear(np.asarray(sd[f"{b}.{a}.to_v.weight"]))},
+                "to_out": _lin(sd, f"{b}.{a}.to_out.0"),
+            }
+
+        out[f"block{d}"] = {
+            "attn1": attn("attn1"),
+            "attn2": attn("attn2"),
+            "ff": {"geglu": _lin(sd, f"{b}.ff.net.0.proj"),
+                   "proj_out": _lin(sd, f"{b}.ff.net.2")},
+            "norm1": {"scale": np.asarray(sd[f"{b}.norm1.weight"]),
+                      "bias": np.asarray(sd[f"{b}.norm1.bias"])},
+            "norm2": {"scale": np.asarray(sd[f"{b}.norm2.weight"]),
+                      "bias": np.asarray(sd[f"{b}.norm2.bias"])},
+            "norm3": {"scale": np.asarray(sd[f"{b}.norm3.weight"]),
+                      "bias": np.asarray(sd[f"{b}.norm3.bias"])},
+        }
+    return out
+
+
+def _gconv(sd, prefix):
+    """GraphTripleConv (``graph.py:89-211``); build_mlp with batch norm puts
+    Linear/BN at sequence indices 0/1 and 3/4.  Returns (params, batch_stats)
+    — our MaskedBatchNorm keeps running mean/var in the ``batch_stats``
+    collection."""
+
+    def bn_p(p):
+        return {"scale": np.asarray(sd[f"{p}.weight"]),
+                "bias": np.asarray(sd[f"{p}.bias"])}
+
+    def bn_s(p):
+        return {"mean": np.asarray(sd[f"{p}.running_mean"]),
+                "var": np.asarray(sd[f"{p}.running_var"])}
+
+    def net_p(p):
+        return {"lin0": _lin(sd, f"{p}.0"), "bn0": bn_p(f"{p}.1"),
+                "lin1": _lin(sd, f"{p}.3"), "bn1": bn_p(f"{p}.4")}
+
+    def net_s(p):
+        return {"bn0": bn_s(f"{p}.1"), "bn1": bn_s(f"{p}.4")}
+
+    params = {"net1": net_p(f"{prefix}.net1"), "net2": net_p(f"{prefix}.net2")}
+    stats = {"net1": net_s(f"{prefix}.net1"), "net2": net_s(f"{prefix}.net2")}
+    if f"{prefix}.linear_projection.weight" in sd:
+        params["linear_projection"] = _lin(sd, f"{prefix}.linear_projection")
+        params["linear_projection_pred"] = _lin(
+            sd, f"{prefix}.linear_projection_pred")
+    return params, stats
+
+
+def convert_unet_1d(
+    sd: Mapping,
+    channel_mult=(1, 1, 1, 1),
+    num_res_blocks: int = 2,
+    attention_resolutions=(4, 2),
+    transformer_depth: int = 1,
+    gcn_layers: int = 5,
+) -> dict:
+    """torch ``UNet1DModel`` state_dict → flax params
+    (``unet_1d.py:368-716``: 1D ADM trunk + SpatialTransformer1D cross-attn
+    + box GCN message passing)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = {
+        "time_embed0": _lin(sd, "time_embed.0"),
+        "time_embed1": _lin(sd, "time_embed.2"),
+        "in_conv": _conv1d_mid_tap(sd, "input_blocks.0.0"),
+        "out_norm": _gn(sd, "out.0"),
+        "out_conv": _conv1d_mid_tap(sd, "out.2"),
+        "pred_embeddings": {"embedding": sd["pred_embeddings.weight"]},
+        "box_embeddings": _lin(sd, "box_embeddings"),
+    }
+    if "box_time_emb.weight" in sd:
+        params["box_time_emb"] = _lin(sd, "box_time_emb")
+    gcn = [(f"gconv{i}", _gconv(sd, f"box_graph_cov.gconvs.{i}"))
+           for i in range(gcn_layers)]
+    params["box_graph_cov"] = {k: p for k, (p, _) in gcn}
+    batch_stats = {"box_graph_cov": {k: s for k, (_, s) in gcn}}
+
+    ds, idx = 1, 1
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            params[f"in_{level}_{i}_res"] = _res1d(sd, f"input_blocks.{idx}.0")
+            if ds in attention_resolutions:
+                params[f"in_{level}_{i}_attn"] = _spatial_transformer_1d(
+                    sd, f"input_blocks.{idx}.1", transformer_depth)
+            idx += 1
+        if level != len(channel_mult) - 1:
+            params[f"down_{level}"] = _conv1d_mid_tap(
+                sd, f"input_blocks.{idx}.0.op")
+            idx += 1
+            ds *= 2
+
+    params["mid_res1"] = _res1d(sd, "middle_block.0")
+    params["mid_attn"] = _spatial_transformer_1d(sd, "middle_block.1",
+                                                 transformer_depth)
+    params["mid_res2"] = _res1d(sd, "middle_block.2")
+
+    idx = 0
+    for level in reversed(range(len(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            params[f"out_{level}_{i}_res"] = _res1d(sd, f"output_blocks.{idx}.0")
+            off = 1
+            if ds in attention_resolutions:
+                params[f"out_{level}_{i}_attn"] = _spatial_transformer_1d(
+                    sd, f"output_blocks.{idx}.{off}", transformer_depth)
+                off += 1
+            if level and i == num_res_blocks:
+                params[f"up_{level}"] = _conv1d_mid_tap(
+                    sd, f"output_blocks.{idx}.{off}.conv")
+                ds //= 2
+            idx += 1
+    return {"params": params, "batch_stats": batch_stats}

@@ -268,3 +268,128 @@ def test_convert_layout_unet_tree_and_forward():
     out = unet.apply(up, x, cd)
     assert out.shape == (B, H, W, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_unet_1d_tree_and_forward():
+    import chex
+
+    from lidarcrafter_tpu.configs import get_config
+    from lidarcrafter_tpu.training.factory import build_layout_training
+    from lidarcrafter_tpu.utils.torch_ckpt import convert_unet_1d
+
+    cfg = get_config("nuscenes-layout")
+    models, engine, _ = build_layout_training(cfg)
+    m = models["model"]
+    N, E = 8, 10
+    cd = {
+        "time_condition": jnp.zeros((N,)),
+        "other_condition": {
+            "preds": jnp.zeros((E, 3), jnp.int32),
+            "uc_b": jnp.zeros((N, 512)),
+            "edge_mask": jnp.ones((E,), bool),
+        },
+    }
+    ref = m.init(jax.random.PRNGKey(0), jnp.zeros((N, 20)), cd)
+
+    r = np.random.RandomState(0)
+    mc, temb, ctx, gd, gh = 512, 2048, 1280, 64, 256
+    sd = {}
+
+    def lin(p, i, o, bias=True):
+        sd[f"{p}.weight"] = r.randn(o, i).astype(np.float32) * 0.02
+        if bias:
+            sd[f"{p}.bias"] = r.randn(o).astype(np.float32) * 0.02
+
+    def gn(p, c):
+        sd[f"{p}.weight"] = np.ones(c, np.float32)
+        sd[f"{p}.bias"] = np.zeros(c, np.float32)
+
+    def bn(p, c):
+        gn(p, c)
+        sd[f"{p}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{p}.running_var"] = np.ones(c, np.float32)
+
+    def conv(p, i, o, k=3):
+        sd[f"{p}.weight"] = r.randn(o, i, k).astype(np.float32) * 0.02
+        sd[f"{p}.bias"] = r.randn(o).astype(np.float32) * 0.02
+
+    def res(p, ci, co):
+        gn(f"{p}.in_layers.0", ci)
+        conv(f"{p}.in_layers.2", ci, co)
+        lin(f"{p}.emb_layers.1", temb, co)
+        gn(f"{p}.out_layers.0", co)
+        conv(f"{p}.out_layers.3", co, co)
+        if ci != co:
+            conv(f"{p}.skip_connection", ci, co, k=1)
+
+    def attn(p):
+        gn(f"{p}.norm", mc)
+        conv(f"{p}.proj_in", mc, mc, k=1)
+        conv(f"{p}.proj_out", mc, mc, k=1)
+        b = f"{p}.transformer_blocks.0"
+        for a, kvdim in (("attn1", mc), ("attn2", ctx)):
+            lin(f"{b}.{a}.to_q", mc, mc, bias=False)
+            lin(f"{b}.{a}.to_k", kvdim, mc, bias=False)
+            lin(f"{b}.{a}.to_v", kvdim, mc, bias=False)
+            lin(f"{b}.{a}.to_out.0", mc, mc)
+        lin(f"{b}.ff.net.0.proj", mc, 2 * 4 * mc)
+        lin(f"{b}.ff.net.2", 4 * mc, mc)
+        for n in ("norm1", "norm2", "norm3"):
+            gn(f"{b}.{n}", mc)
+
+    lin("time_embed.0", mc, temb)
+    lin("time_embed.2", temb, temb)
+    conv("input_blocks.0.0", 20, mc)
+    lin("box_embeddings", 20, gd)
+    lin("box_time_emb", temb, gd)
+    sd["pred_embeddings.weight"] = r.randn(16, 2 * gd).astype(np.float32)
+    do, dp = 640, 2 * gd
+    for i in range(5):
+        out_dim = 1280 if i == 4 else do  # last layer projects to concat_dim
+        g = f"box_graph_cov.gconvs.{i}"
+        lin(f"{g}.net1.0", 2 * do + dp, gh)
+        bn(f"{g}.net1.1", gh)
+        lin(f"{g}.net1.3", gh, 2 * gh + dp)
+        bn(f"{g}.net1.4", 2 * gh + dp)
+        lin(f"{g}.net2.0", gh, gh)
+        bn(f"{g}.net2.1", gh)
+        lin(f"{g}.net2.3", gh, out_dim)
+        bn(f"{g}.net2.4", out_dim)
+        lin(f"{g}.linear_projection", do, out_dim)
+        lin(f"{g}.linear_projection_pred", dp, dp)
+
+    ds, idx = 1, 1
+    cm, nrb, attn_ds = (1, 1, 1, 1), 2, (4, 2)
+    for level in range(4):
+        for i in range(nrb):
+            res(f"input_blocks.{idx}.0", mc, mc)
+            if ds in attn_ds:
+                attn(f"input_blocks.{idx}.1")
+            idx += 1
+        if level != 3:
+            conv(f"input_blocks.{idx}.0.op", mc, mc)
+            idx += 1
+            ds *= 2
+    res("middle_block.0", mc, mc)
+    attn("middle_block.1")
+    res("middle_block.2", mc, mc)
+    idx = 0
+    for level in reversed(range(4)):
+        for i in range(nrb + 1):
+            res(f"output_blocks.{idx}.0", 2 * mc, mc)
+            off = 1
+            if ds in attn_ds:
+                attn(f"output_blocks.{idx}.{off}")
+                off += 1
+            if level and i == nrb:
+                conv(f"output_blocks.{idx}.{off}.conv", mc, mc)
+                ds //= 2
+            idx += 1
+    gn("out.0", mc)
+    conv("out.2", mc, 20)
+
+    got = convert_unet_1d(sd)
+    chex.assert_trees_all_equal_shapes(ref, got)
+    out = m.apply(got, jnp.zeros((N, 20)), cd)
+    assert out.shape == (N, 20)
+    assert np.isfinite(np.asarray(out)).all()
