@@ -464,3 +464,85 @@ def convert_unet_1d(
                 ds //= 2
             idx += 1
     return {"params": params, "batch_stats": batch_stats}
+
+
+# ----------------------------------------------- point / scene-graph families
+
+
+def convert_point_unet(sd: Mapping, num_layers: int = 6) -> dict:
+    """torch ``PointUNet`` state_dict → flax params
+    (``point_unet.py:14-71``: 6 gated PCNet layers)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = {}
+    for i in range(num_layers):
+        p = f"layers.{i}"
+        params[f"layer{i}"] = {
+            "fea_layer": _lin(sd, f"{p}.fea_layer"),
+            "cond_bias": {"kernel": _linear(sd[f"{p}.cond_bias.weight"])},
+            "cond_gate": _lin(sd, f"{p}.cond_gate"),
+        }
+    return {"params": params}
+
+
+def convert_object_gen_encoder(sd: Mapping) -> dict:
+    """torch ``ObjectGenEncoder`` state_dict → flax params
+    (``encoders/object_gen_encoder.py:8-35``: Fourier box proj + 3-layer MLP
+    over [box_emb, class_text_feature])."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    return {"params": {
+        "bbox_proj": _lin(sd, "bbox_proj"),
+        "second0": _lin(sd, "second_linear.0"),
+        "second1": _lin(sd, "second_linear.2"),
+        "second2": _lin(sd, "second_linear.4"),
+    }}
+
+
+def _gconv_auto(sd, prefix):
+    """GraphTripleConv with either mlp_normalization='batch' (Linear/BN at
+    0/1 and 3/4) or 'none' (Linear at 0 and 2)."""
+    if f"{prefix}.net1.1.running_mean" in sd:
+        return _gconv(sd, prefix)
+
+    def net(p):
+        return {"lin0": _lin(sd, f"{p}.0"), "lin1": _lin(sd, f"{p}.2")}
+
+    params = {"net1": net(f"{prefix}.net1"), "net2": net(f"{prefix}.net2")}
+    if f"{prefix}.linear_projection.weight" in sd:
+        params["linear_projection"] = _lin(sd, f"{prefix}.linear_projection")
+        params["linear_projection_pred"] = _lin(
+            sd, f"{prefix}.linear_projection_pred")
+    return params, None
+
+
+def convert_scene_graph(sd: Mapping) -> dict:
+    """torch ``SceneGraph`` state_dict → flax params (``scene_graph.py:6-90``).
+
+    ``obj_embeddings_dc`` exists in the reference but is never used in its
+    forward (flagged TODO there) — dropped here."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = {
+        "obj_embeddings_ec": {"embedding": sd["obj_embeddings_ec.weight"]},
+        "pred_embeddings_ec": {"embedding": sd["pred_embeddings_ec.weight"]},
+        "pred_embeddings_man_dc": {
+            "embedding": sd["pred_embeddings_man_dc.weight"]},
+    }
+    stats = {}
+    for name in ("gconv_net_ec", "gconv_net_manipulation", "gconv_net_ec_rel_l"):
+        if f"{name}.gconvs.0.net1.0.weight" not in sd:
+            continue
+        layers = {}
+        stats_layers = {}
+        i = 0
+        while f"{name}.gconvs.{i}.net1.0.weight" in sd:
+            p, s = _gconv_auto(sd, f"{name}.gconvs.{i}")
+            layers[f"gconv{i}"] = p
+            if s is not None:
+                stats_layers[f"gconv{i}"] = s
+            i += 1
+        params[name] = layers
+        if stats_layers:
+            stats[name] = stats_layers
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out

@@ -393,3 +393,82 @@ def test_convert_unet_1d_tree_and_forward():
     out = m.apply(got, jnp.zeros((N, 20)), cd)
     assert out.shape == (N, 20)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_point_unet_and_encoder_and_scene_graph():
+    import chex
+
+    from lidarcrafter_tpu.models.point_unet import ObjectGenEncoder, PointUNet
+    from lidarcrafter_tpu.models.scene_graph import SceneGraph
+    from lidarcrafter_tpu.utils.torch_ckpt import (
+        convert_object_gen_encoder,
+        convert_point_unet,
+        convert_scene_graph,
+    )
+
+    r = np.random.RandomState(0)
+    sd = {}
+
+    def lin(p, i, o, bias=True):
+        sd[f"{p}.weight"] = r.randn(o, i).astype(np.float32) * 0.05
+        if bias:
+            sd[f"{p}.bias"] = r.randn(o).astype(np.float32) * 0.05
+
+    # PointUNet (point_dim=4, cond 11 → +3 time channels)
+    dims = [4, 128, 256, 512, 256, 128, 4]
+    for i in range(6):
+        lin(f"layers.{i}.fea_layer", dims[i], dims[i + 1])
+        lin(f"layers.{i}.cond_bias", 14, dims[i + 1], bias=False)
+        lin(f"layers.{i}.cond_gate", 14, dims[i + 1])
+    m = PointUNet(point_dim=4, cond_dims=11)
+    ref = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 4)),
+                 {"time_condition": jnp.zeros((2,)),
+                  "other_condition": jnp.zeros((2, 11))})
+    got = convert_point_unet(sd)
+    chex.assert_trees_all_equal_shapes(ref, got)
+    out = m.apply(got, jnp.zeros((2, 16, 4)),
+                  {"time_condition": jnp.zeros((2,)),
+                   "other_condition": jnp.zeros((2, 11))})
+    assert out.shape == (2, 16, 4)
+
+    # ObjectGenEncoder
+    sd = {}
+    lin("bbox_proj", 54, 768)
+    lin("second_linear.0", 1280, 512)
+    lin("second_linear.2", 512, 512)
+    lin("second_linear.4", 512, 768)
+    e = ObjectGenEncoder()
+    inp = {"fg_encoding_box": jnp.zeros((2, 6)),
+           "fg_class": jnp.zeros((2,), jnp.int32),
+           "fg_text_features": jnp.zeros((8, 512))}
+    ref = e.init(jax.random.PRNGKey(0), inp)
+    got = convert_object_gen_encoder(sd)
+    chex.assert_trees_all_equal_shapes(ref, got)
+    assert np.isfinite(np.asarray(e.apply(got, inp))).all()
+
+    # SceneGraph (mlp_normalization='none')
+    sd = {}
+    gd, add = 64, 512
+    sd["obj_embeddings_ec.weight"] = r.randn(10, 2 * gd).astype(np.float32)
+    sd["pred_embeddings_ec.weight"] = r.randn(16, 2 * gd).astype(np.float32)
+    sd["pred_embeddings_man_dc.weight"] = r.randn(16, 2 * gd).astype(np.float32)
+    do = 2 * gd + add          # 640: ec in/out and manipulation output dim
+    dm = do + gd + do          # 1344: manipulation obj input (latent+flag+emb)
+    gh = 4 * gd                # 256: gconv hidden
+    for name, din in (("gconv_net_ec", do), ("gconv_net_manipulation", dm)):
+        for i in range(5):
+            g = f"{name}.gconvs.{i}"
+            out_d = do if i == 4 else din  # intermediate layers chain din
+            lin(f"{g}.net1.0", 2 * din + do, gh)
+            lin(f"{g}.net1.2", gh, 2 * gh + do)
+            lin(f"{g}.net2.0", gh, gh)
+            lin(f"{g}.net2.2", gh, out_d)
+    sg = SceneGraph(num_objs=9, num_preds=16)
+    N, E = 6, 8
+    args = (jnp.zeros((N,), jnp.int32), jnp.zeros((E, 3), jnp.int32),
+            jnp.zeros((N, 512)), jnp.zeros((E, 512)))
+    ref = sg.init(jax.random.PRNGKey(0), *args, edge_mask=jnp.ones((E,), bool))
+    got = convert_scene_graph(sd)
+    chex.assert_trees_all_equal_shapes(ref, got)
+    latent, obj_embed = sg.apply(got, *args, edge_mask=jnp.ones((E,), bool))
+    assert np.isfinite(np.asarray(latent)).all()
