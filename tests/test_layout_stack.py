@@ -242,3 +242,42 @@ def test_layout_encoder_v5():
     assert out["xf_out"].shape == (B, L, 64)
     assert out["xf_proj"].shape == (B, 256)
     assert out["concat_cond"].shape == (B, H, W, 10)
+
+
+def test_layout_unet_v0_glide_attention_path():
+    """layout_unet (v0): same trunk with GLIDE attention blocks
+    (cf. ``layout_unet.py`` vs ``layout_unet_v1.py`` in the reference)."""
+    enc = _encoder()
+    unet = LayoutUnetV1(
+        in_channels=2 + 11,
+        resolution=(H, W),
+        model_channels=64,
+        out_channels=2,
+        num_res_blocks=1,
+        attention_ds=(4, 8),
+        encoder_channels=64,
+        channel_mult=(1, 2, 4, 8),
+        num_head_channels=16,
+        image_size=H,
+        attention_block_type="GLIDEAttentionBlock",
+    )
+    cond = _cond_inputs()
+    enc_params = enc.init(jax.random.PRNGKey(0), cond)
+    layout = enc.apply(enc_params, cond)
+    x = jnp.zeros((B, H, W, 2))
+    cd = {"time_condition": jnp.zeros((B,)), "other_condition": layout}
+    params = unet.init(jax.random.PRNGKey(1), x, cd)
+    out = unet.apply(params, x, cd)
+    assert out.shape == (B, H, W, 2)
+    assert np.isfinite(np.asarray(out)).all()
+    # encoder tokens reach the K/V path: changing xf_out changes the output
+    # (perturb params away from the zero-init output conv first)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * np.random.RandomState(3).randn(*a.shape).astype(a.dtype),
+        params,
+    )
+    out1 = unet.apply(params, x, cd)
+    layout2 = dict(layout)
+    layout2["xf_out"] = layout["xf_out"] + 1.0
+    out2 = unet.apply(params, x, dict(cd, other_condition=layout2))
+    assert float(jnp.abs(out1 - out2).max()) > 0
