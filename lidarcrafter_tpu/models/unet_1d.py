@@ -111,12 +111,12 @@ class TransformerBlock1Token(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         x = x + SingleTokenCrossAttention(self.heads, self.dim_head, name="attn1")(
-            nn.LayerNorm(name="norm1")(x)
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         )
         x = x + SingleTokenCrossAttention(
             self.heads, self.dim_head, self.context_dim, name="attn2"
-        )(nn.LayerNorm(name="norm2")(x), context)
-        x = x + GEGLUFeedForward(name="ff")(nn.LayerNorm(name="norm3")(x))
+        )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context)
+        x = x + GEGLUFeedForward(name="ff")(nn.LayerNorm(epsilon=1e-5, name="norm3")(x))
         return x
 
 
