@@ -29,11 +29,13 @@ from flax import linen as nn
 from . import encoding as enc
 from ..utils.lidar import get_linear_ray_angles_np
 from .efficient_unet import TimeEmbedding
-from .ops import Resample, RingConv
+from .ops import GroupNorm32, Resample, RingConv
 
 
 def gn32(name=None):
-    return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+    # direct-variance GroupNorm: flax's E[x^2]-E[x]^2 form cancels
+    # catastrophically on small groups (see ops.GroupNorm32)
+    return GroupNorm32(num_groups=32, epsilon=1e-5, name=name)
 
 
 class ResBlockADM(nn.Module):

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from . import encoding as enc
 from .layout_unet import Downsample, GLIDEAttentionBlock, ResBlockADM, Upsample, gn32
+from .ops import GroupNorm32
 from .ops import RingConv
 
 
@@ -109,7 +110,8 @@ class SpatialTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, context=None):
         B, H, W, C = x.shape
-        h = gn32(name="norm")(x)
+        # LDM Normalize: GroupNorm eps=1e-6 (attention.py:78-79)
+        h = GroupNorm32(num_groups=32, epsilon=1e-6, name="norm")(x)
         h = nn.Dense(self.num_heads * self.head_dim, name="proj_in")(h)
         h = h.reshape(B, H * W, -1)
         for d in range(self.depth):

@@ -26,11 +26,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .graph import GraphTripleConvNet
-from .ops import sinusoidal_embedding
+from .ops import GroupNorm32, sinusoidal_embedding
 
 
 def gn32(name=None):
-    return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+    # direct-variance GroupNorm: flax's E[x^2]-E[x]^2 form cancels
+    # catastrophically on small groups (see ops.GroupNorm32)
+    return GroupNorm32(num_groups=32, epsilon=1e-5, name=name)
 
 
 class ResBlock1D(nn.Module):
@@ -131,7 +133,9 @@ class SpatialTransformer1Token(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         x_in = x
-        h = gn32(name="norm")(x)
+        # LDM Normalize uses eps=1e-6 (attention.py:78-79), unlike the ADM
+        # resblock GroupNorm32 (1e-5)
+        h = GroupNorm32(num_groups=32, epsilon=1e-6, name="norm")(x)
         h = nn.Dense(self.heads * self.dim_head, name="proj_in")(h)
         for d in range(self.depth):
             h = TransformerBlock1Token(

@@ -578,14 +578,13 @@ def test_unet_1d_numerical_parity_with_reference():
         inter["intermediates"]["box_graph_cov"]["__call__"][0][0])
     np.testing.assert_allclose(mp_got, mp_want, rtol=1e-3, atol=1e-4)
 
-    # Trunk: every stage matches torch to <=2e-4 when compared block-by-block
-    # (verified during bring-up); tiny normalization fp differences amplify
-    # through the 12 attention blocks' FF/projection matmuls, so the composed
-    # output is only bounded loosely here. Mapping/transpose errors produce
-    # O(1) divergence, far outside this band. Strict composed parity is a
-    # round-2 item (investigate GroupNorm stat accumulation order).
+    # Trunk: every stage matches torch block-by-block. The composed bound is
+    # set by GroupNorm on this tiny config's 2-element groups: near-zero group
+    # variance amplifies fp noise by ~1/sqrt(eps) per block (production
+    # configs use 16-element groups). Mapping/transpose errors produce O(1)
+    # divergence, far outside this band.
     got = np.asarray(got)
     assert got.shape == want.squeeze().shape
     diff = np.abs(got - want.squeeze())
-    assert diff.mean() < 2e-2, diff.mean()
-    assert diff.max() < 2e-1, diff.max()
+    assert diff.mean() < 5e-3, diff.mean()
+    assert diff.max() < 5e-2, diff.max()
