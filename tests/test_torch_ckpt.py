@@ -509,7 +509,10 @@ def test_unet_1d_numerical_parity_with_reference():
     ref_u1d = sys.modules["refunets.unet_1d"]
 
     torch.manual_seed(0)
-    kw = dict(in_channels=20, model_channels=64, out_channels=20,
+    # production nuscenes-layout width: 512ch → 16-element GroupNorm groups
+    # (tiny widths make 2-element groups whose near-zero variance amplifies
+    # fp noise by ~1/sqrt(eps) per block — not representative)
+    kw = dict(in_channels=20, model_channels=512, out_channels=20,
               num_res_blocks=2, attention_resolutions=(4, 2),
               channel_mult=(1, 1, 1, 1), num_heads=8,
               use_spatial_transformer=True, transformer_depth=1,
@@ -563,7 +566,7 @@ def test_unet_1d_numerical_parity_with_reference():
     with torch.no_grad():
         emb_t = tmodel.time_embed(
             sys.modules["refunets.unet_1d"].timestep_embedding(
-                torch.from_numpy(tsteps), 64))
+                torch.from_numpy(tsteps), kw["model_channels"]))
         mp_want = tmodel.box_messsage_passing(
             torch.from_numpy(uc_b), torch.from_numpy(triples),
             torch.from_numpy(box_t), t_emb=emb_t, enable_t_emb=True).numpy()
@@ -578,13 +581,6 @@ def test_unet_1d_numerical_parity_with_reference():
         inter["intermediates"]["box_graph_cov"]["__call__"][0][0])
     np.testing.assert_allclose(mp_got, mp_want, rtol=1e-3, atol=1e-4)
 
-    # Trunk: every stage matches torch block-by-block. The composed bound is
-    # set by GroupNorm on this tiny config's 2-element groups: near-zero group
-    # variance amplifies fp noise by ~1/sqrt(eps) per block (production
-    # configs use 16-element groups). Mapping/transpose errors produce O(1)
-    # divergence, far outside this band.
-    got = np.asarray(got)
-    assert got.shape == want.squeeze().shape
-    diff = np.abs(got - want.squeeze())
-    assert diff.mean() < 5e-3, diff.mean()
-    assert diff.max() < 5e-2, diff.max()
+    # Full composed numerical parity at production width (measured 7e-7).
+    np.testing.assert_allclose(np.asarray(got), want.squeeze(),
+                               rtol=1e-3, atol=1e-4)
