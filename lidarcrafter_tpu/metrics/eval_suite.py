@@ -103,6 +103,57 @@ def _load_sparse_backbone(model_name: str, folder, max_points: int):
     return model, convert_torchsparse_state_dict(sd)
 
 
+def _range_descriptors(clouds, data, root, agg_type="depth"):
+    """Per-cloud FRID descriptors from the pretrained RangeNet folder
+    (``{root}/{dataset}/rangenet/{backbone,segmentation_decoder}``; cf.
+    ``metric_utils.compute_logits`` range path + ``rangenet/model.py:349-368``)."""
+    from pathlib import Path
+
+    import jax
+    import torch
+
+    from ..ops.projection import points_to_range_image
+    from .extractor.rangenet import (
+        RangeNet,
+        convert_rangenet_folder,
+        preprocess_range_input,
+        rangenet_frid_descriptor,
+    )
+
+    folder = Path(root) / _TYPE2DATASET[data] / "rangenet"
+    backbone = torch.load(folder / "backbone", map_location="cpu",
+                          weights_only=False)
+    decoder = torch.load(folder / "segmentation_decoder", map_location="cpu",
+                         weights_only=False)
+    params = convert_rangenet_folder(backbone, decoder)
+    nrb8 = any(k.startswith("enc3.residual_7") for k in backbone)
+    model = RangeNet(num_classes=17, backbone=53 if nrb8 else 21)
+    H, W = (32, 1024) if data == "32" else (64, 1024)
+    fov_up, fov_down = (10.0, -30.0) if data == "32" else (3.0, -25.0)
+
+    @jax.jit
+    def describe(img):
+        # FRID aggregates the decoder feature map, not the class head
+        # (``rangenet/model.py:308-312``: return_logits → pre-dropout x)
+        feats = model.apply(params, preprocess_range_input(img), "decoder")
+        return rangenet_frid_descriptor(feats, agg_type=agg_type)
+
+    out = []
+    for pts in clouds:
+        pts = np.asarray(pts, np.float32)
+        if pts.shape[1] < 4:
+            pts = np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1)
+        img = points_to_range_image(
+            jnp.asarray(pts[:, :4]), H=H, W=W,
+            fov_up=fov_up, fov_down=fov_down,
+        )
+        x = jnp.concatenate(
+            [img[..., 4:5], img[..., :3], img[..., 3:4]], axis=-1
+        )[None]
+        out.append(np.asarray(describe(x))[0])
+    return np.stack(out)
+
+
 def _sparse_descriptors(clouds, model_name, data, root, max_points):
     """Per-cloud 16-sector depth descriptors from a pretrained sparse
     backbone (cf. ``metric_utils.compute_logits`` voxel/point_voxel paths)."""
@@ -156,13 +207,20 @@ def evaluate(
     for name in metrics:
         if name in modality:
             feats = features.get(modality[name])
-            if feats is None and name in backbone and pretrained_root:
-                feats = tuple(
-                    _sparse_descriptors(
-                        clouds, backbone[name], data, pretrained_root, max_points
+            if feats is None and pretrained_root:
+                if name in backbone:
+                    feats = tuple(
+                        _sparse_descriptors(
+                            clouds, backbone[name], data, pretrained_root,
+                            max_points,
+                        )
+                        for clouds in (reference, samples)
                     )
-                    for clouds in (reference, samples)
-                )
+                elif name == "frid":
+                    feats = tuple(
+                        _range_descriptors(clouds, data, pretrained_root)
+                        for clouds in (reference, samples)
+                    )
             if feats is None:
                 raise ValueError(
                     f"{name} needs precomputed '{modality[name]}' features "

@@ -201,3 +201,100 @@ def convert_rangenet_state_dict(sd) -> dict:
         "bias": sd["head.1.bias"],
     }
     return {"params": params}
+
+
+def convert_rangenet_folder(backbone_sd, decoder_sd, head=None) -> dict:
+    """Pretrained eval-folder format → flax params.
+
+    The reference's FRID checkpoints ship as separate raw state_dicts
+    (``{folder}/backbone`` + ``{folder}/segmentation_decoder``, loaded by
+    ``metrics/models/rangenet/model.py:330-336``) with darknet naming:
+    ``conv1/bn1``, ``enc{k}.{conv,bn,residual_{i}.conv1/bn1/conv2/bn2}``,
+    ``dec{j}.{upconv|conv,bn,residual.*}``.  ``head`` (num-class conv) is
+    optional — the FRID feature path stops at the decoder.
+    """
+    b = {k: np.asarray(v) for k, v in backbone_sd.items()}
+    d = {k: np.asarray(v) for k, v in decoder_sd.items()}
+
+    def conv(sd, name, transposed=False):
+        w = sd[f"{name}.weight"]
+        k = np.transpose(w, (2, 3, 1, 0))
+        return k
+
+    def bn(sd, name):
+        return {
+            "scale": sd[f"{name}.weight"],
+            "bias": sd[f"{name}.bias"],
+            "mean": sd[f"{name}.running_mean"],
+            "var": sd[f"{name}.running_var"],
+        }
+
+    def cbl(sd, cname, bname, transposed=False, bias=False):
+        out = {}
+        if transposed:
+            w = sd[f"{cname}.weight"]  # torch ConvT (I, O, kh, kw) → HWOI
+            out["conv_kernel"] = np.transpose(w, (2, 3, 1, 0))
+            if bias and f"{cname}.bias" in sd:
+                out["conv_bias"] = sd[f"{cname}.bias"]
+        else:
+            out["conv"] = {"kernel": conv(sd, cname)}
+            if f"{cname}.bias" in sd:
+                out["conv"]["bias"] = sd[f"{cname}.bias"]
+        out["bn"] = bn(sd, bname)
+        return out
+
+    def res(sd, prefix):
+        return {
+            "reduce": cbl(sd, f"{prefix}.conv1", f"{prefix}.bn1"),
+            "expand": cbl(sd, f"{prefix}.conv2", f"{prefix}.bn2"),
+        }
+
+    nrb = [1, 2, 8, 8, 4] if any(
+        k.startswith("enc3.residual_7") for k in b
+    ) else [1, 1, 2, 2, 1]
+    params = {"stem": cbl(b, "conv1", "bn1")}
+    for i, n in enumerate(nrb):
+        e = {"conv": cbl(b, f"enc{i + 1}.conv", f"enc{i + 1}.bn")}
+        for j in range(n):
+            e[f"res{j}"] = res(b, f"enc{i + 1}.residual_{j}")
+        params[f"enc{i + 1}"] = e
+    for j in range(5, 0, -1):
+        cname = (
+            f"dec{j}.upconv" if f"dec{j}.upconv.weight" in d else f"dec{j}.conv"
+        )
+        dd = {"conv": cbl(d, cname, f"dec{j}.bn",
+                          transposed="upconv" in cname, bias=True)}
+        dd["res0"] = res(d, f"dec{j}.residual")
+        params[f"dec{j}"] = dd
+    if head is not None:
+        h = {k: np.asarray(v) for k, v in head.items()}
+        key = "head.1.weight" if "head.1.weight" in h else "1.weight"
+        params["head"] = {
+            "kernel": np.transpose(h[key], (2, 3, 1, 0)),
+            "bias": h[key.replace("weight", "bias")],
+        }
+    else:
+        # FRID stops at the decoder — zero head keeps the tree complete
+        cin = params["dec1"]["conv"]["bn"]["scale"].shape[0]
+        params["head"] = {"kernel": np.zeros((3, 3, cin, 17), np.float32),
+                          "bias": np.zeros((17,), np.float32)}
+    return {"params": params}
+
+
+def rangenet_frid_descriptor(logits: "jnp.ndarray", agg_type: str = "depth",
+                             num_sectors: int = 16) -> "jnp.ndarray":
+    """(B, H, W, C) decoder logits → FRID descriptor
+    (``metrics/models/rangenet/model.py:349-368``: 'depth' = mean over
+    16 row bands, 'sector' = 16 column bands, 'all' = global mean)."""
+    B, H, W, C = logits.shape
+    N = num_sectors
+    if agg_type == "all":
+        return logits.mean(axis=(1, 2))
+    if agg_type == "sector":
+        x = logits.reshape(B, H, N, W // N, C).mean(axis=(1, 3))  # (B, N, C)
+    elif agg_type == "depth":
+        x = logits.reshape(B, N, H // N, W, C).mean(axis=(2, 3))  # (B, N, C)
+    else:
+        raise NotImplementedError(agg_type)
+    # torch flattens channel-major ((B, C, N) view); match that ordering
+    return x.transpose(0, 2, 1).reshape(B, -1)

@@ -108,3 +108,65 @@ def test_rangenet_parity_small():
 
     pre = preprocess_range_input(xj)
     assert pre.shape == xj.shape
+
+
+def test_convert_rangenet_folder_tree_and_descriptor():
+    """Pretrained-folder (darknet-named backbone/decoder state_dicts) →
+    flax tree match + FRID descriptor aggregation semantics."""
+    import chex
+
+    from lidarcrafter_tpu.metrics.extractor.rangenet import (
+        RangeNet,
+        convert_rangenet_folder,
+        rangenet_frid_descriptor,
+    )
+
+    r = np.random.RandomState(0)
+    b, d = {}, {}
+
+    def bn(sd, p, c):
+        sd[f"{p}.weight"] = r.rand(c).astype(np.float32) + 0.5
+        sd[f"{p}.bias"] = r.randn(c).astype(np.float32) * 0.1
+        sd[f"{p}.running_mean"] = r.randn(c).astype(np.float32) * 0.1
+        sd[f"{p}.running_var"] = r.rand(c).astype(np.float32) + 0.5
+
+    chans = [32, 64, 128, 256, 512, 1024]
+    b["conv1.weight"] = r.randn(32, 5, 3, 3).astype(np.float32) * 0.05
+    bn(b, "bn1", 32)
+    nrb = [1, 1, 2, 2, 1]  # darknet-21
+    for k in range(1, 6):
+        ci, co = chans[k - 1], chans[k]
+        b[f"enc{k}.conv.weight"] = r.randn(co, ci, 3, 3).astype(np.float32) * 0.05
+        bn(b, f"enc{k}.bn", co)
+        for j in range(nrb[k - 1]):
+            p = f"enc{k}.residual_{j}"
+            b[f"{p}.conv1.weight"] = r.randn(ci, co, 1, 1).astype(np.float32) * 0.05
+            bn(b, f"{p}.bn1", ci)
+            b[f"{p}.conv2.weight"] = r.randn(co, ci, 3, 3).astype(np.float32) * 0.05
+            bn(b, f"{p}.bn2", co)
+    dec_planes = [(1024, 512), (512, 256), (256, 128), (128, 64), (64, 32)]
+    for idx, (d0, d1) in enumerate(dec_planes):
+        j = 5 - idx
+        d[f"dec{j}.upconv.weight"] = r.randn(d0, d1, 1, 4).astype(np.float32) * 0.05
+        d[f"dec{j}.upconv.bias"] = r.randn(d1).astype(np.float32) * 0.05
+        bn(d, f"dec{j}.bn", d1)
+        p = f"dec{j}.residual"
+        d[f"{p}.conv1.weight"] = r.randn(d0, d1, 1, 1).astype(np.float32) * 0.05
+        bn(d, f"{p}.bn1", d0)
+        d[f"{p}.conv2.weight"] = r.randn(d1, d0, 3, 3).astype(np.float32) * 0.05
+        bn(d, f"{p}.bn2", d1)
+
+    params = convert_rangenet_folder(b, d)
+    model = RangeNet(num_classes=17, backbone=21)
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 5)))
+    chex.assert_trees_all_equal_shapes(ref, params)
+    out = model.apply(params, jnp.asarray(np.random.rand(1, 32, 64, 5), jnp.float32))
+    assert np.isfinite(np.asarray(out)).all()
+
+    # descriptor aggregation matches a channel-major torch-view replay
+    logits = r.randn(2, 32, 64, 6).astype(np.float32)
+    got = np.asarray(rangenet_frid_descriptor(jnp.asarray(logits), "depth"))
+    lt = logits.transpose(0, 3, 1, 2)  # (B, C, H, W)
+    want = lt.reshape(2, 6, 16, 2, 64).mean(axis=(3, 4)).reshape(2, -1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert got.shape == (2, 96)
