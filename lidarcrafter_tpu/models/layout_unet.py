@@ -173,10 +173,12 @@ class ObjectAwareCrossAttention(nn.Module):
         tokens = x.reshape(B, H * W, C)
 
         qkv = nn.Dense(3 * C, name="qkv_projector")(gn32(name="norm_for_qkv")(tokens))
-        qkv = qkv.reshape(B, H * W, nh, -1)
-        dh = C // nh
-        q_c, k_c, v_c = jnp.split(qkv, [dh, 2 * dh], axis=-1)
-        q_c, k_c, v_c = (t.transpose(0, 2, 1, 3) for t in (q_c, k_c, v_c))
+        # unlike QKVAttentionLegacy's per-head packing, the reference OACA
+        # splits the fused projection at full-channel granularity
+        # (layout_unet_v1.py:442: qkv.split(C, dim=1)), then blocks per head
+        q_c, k_c, v_c = (
+            _split_heads(t, nh) for t in jnp.split(qkv, 3, axis=-1)
+        )
 
         pos_proj = nn.Dense(pe_ch, name="layout_position_embedding_projector")
         patch_raw = cond_kwargs[

@@ -236,9 +236,14 @@ def convert_layout_unet(
     named modules (``in_{level}_{i}_res`` …).
     """
     sd = {k: np.asarray(v) for k, v in sd.items()}
+    # LayoutUnetV1's time_embed Sequential leads with a (parameterless)
+    # SinusoidalPositionalEmbedding (layout_unet_v1.py:683-688), so the two
+    # Linears sit at indices 1 and 3 in real checkpoints.
+    t0, t1 = ("time_embed.1", "time_embed.3") if "time_embed.1.weight" in sd \
+        else ("time_embed.0", "time_embed.2")
     params = {
-        "time_embed": {"Dense_0": _lin(sd, "time_embed.0"),
-                       "Dense_1": _lin(sd, "time_embed.2")},
+        "time_embed": {"Dense_0": _lin(sd, t0),
+                       "Dense_1": _lin(sd, t1)},
         "in_conv": _conv3(sd, "input_blocks.0.0"),
         "out_norm": _gn(sd, "out.0"),
         "out_conv": _conv3(sd, "out.2"),

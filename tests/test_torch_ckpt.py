@@ -584,3 +584,176 @@ def test_unet_1d_numerical_parity_with_reference():
     # Full composed numerical parity at production width (measured 7e-7).
     np.testing.assert_allclose(np.asarray(got), want.squeeze(),
                                rtol=1e-3, atol=1e-4)
+
+
+def _load_ref_layout_stack():
+    """Load reference layout_unet_v1 + layout_encoder (executed, never copied)."""
+    pkg = sys.modules["refunets"]
+    for name in ("nn", "util", "fp16_util", "layout_unet_v1"):
+        if f"refunets.{name}" in sys.modules:
+            continue
+        spec = importlib.util.spec_from_file_location(
+            f"refunets.{name}", REF / f"lidargen/models/unets/{name}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refunets.{name}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(pkg, name, mod)
+
+    # layout_encoder does `from ...utils.lidar import get_linear_ray_angles`:
+    # give it a fake 3-level package with the real utils/lidar.py mounted.
+    if "reflg.models.unets.layout_encoder" not in sys.modules:
+        for name in ("reflg", "reflg.models", "reflg.models.unets", "reflg.utils"):
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules.setdefault(name, m)
+        spec = importlib.util.spec_from_file_location(
+            "reflg.utils.lidar", REF / "lidargen/utils/lidar.py"
+        )
+        lidar = importlib.util.module_from_spec(spec)
+        sys.modules["reflg.utils.lidar"] = lidar
+        spec.loader.exec_module(lidar)
+        spec = importlib.util.spec_from_file_location(
+            "reflg.models.unets.layout_encoder",
+            REF / "lidargen/models/unets/layout_encoder.py",
+        )
+        le = importlib.util.module_from_spec(spec)
+        sys.modules["reflg.models.unets.layout_encoder"] = le
+        # the encoder __init__ calls .cuda() on the patch-bbox table
+        # (layout_encoder.py:217); run it on CPU
+        orig_cuda = torch.Tensor.cuda
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        try:
+            spec.loader.exec_module(le)
+        finally:
+            torch.Tensor.cuda = orig_cuda
+    return (sys.modules["refunets.layout_unet_v1"],
+            sys.modules["reflg.models.unets.layout_encoder"],
+            sys.modules["reflg.utils.lidar"])
+
+
+def test_layout_stack_numerical_parity_with_reference():
+    """Execute the reference LayoutTransformerEncoder + LayoutUnetV1
+    (production topology from option_nusc_auto_reg_v2.py, narrowed W) and
+    compare forwards through the converted weights — numerical ingestion
+    parity for the flagship conditional 4D stack."""
+    ref_lu, ref_le, ref_lidar = _load_ref_layout_stack()
+
+    from lidarcrafter_tpu.models.layout_encoder import LayoutTransformerEncoder
+    from lidarcrafter_tpu.models.layout_unet import LayoutUnetV1
+    from lidarcrafter_tpu.utils.torch_ckpt import (
+        convert_layout_encoder,
+        convert_layout_unet,
+    )
+
+    H, W, B, L = 32, 256, 2, 13
+    enc_kw = dict(
+        feature_map_size=[H, W], used_condition_types=["obj_class", "obj_bbox",
+                                                       "is_valid_obj"],
+        layout_length=L, num_classes_for_layout_object=9,
+        mask_size_for_layout_object=32, hidden_dim=64, output_dim=256,
+        num_layers=6, num_heads=4, use_final_ln=True,
+        use_positional_embedding=False, not_use_layout_fusion_module=False,
+        resolution_to_attention=[4, 8], use_key_padding_mask=False,
+        out_channels=11,
+    )
+    unet_kw = dict(
+        in_channels=13, resolution=(H, W), image_size=H,
+        use_scale_shift_norm=True, out_channels=2, model_channels=64,
+        encoder_channels=64, num_head_channels=32, num_heads=-1,
+        num_heads_upsample=-1, num_res_blocks=2, num_attention_blocks=1,
+        resblock_updown=True, attention_ds=[4, 8], channel_mult=[1, 2, 4, 8],
+        dropout=0.1, attention_block_type="ObjectAwareCrossAttention",
+        use_positional_embedding_for_attention=True,
+    )
+
+    torch.manual_seed(0)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        tenc = ref_le.LayoutTransformerEncoder(**enc_kw).eval()
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    tunet = ref_lu.LayoutUnetV1(**unet_kw, use_fp16=False, use_checkpoint=False).eval()
+    # production spherical projection replaces the polar-coords buffer with
+    # linear ray angles (inference.py:160-166)
+    tunet.coords = ref_lidar.get_linear_ray_angles(H=H, W=W, fov_up=10.0,
+                                                   fov_down=-30.0)
+    with torch.no_grad():
+        for m in (tenc, tunet):
+            for p in m.parameters():
+                if p.abs().sum() == 0:
+                    p.normal_(0, 0.02)
+
+    r = np.random.RandomState(0)
+    boxes9 = r.rand(B, L, 9).astype(np.float32)
+    boxes9[..., -1] = r.randint(0, 9, (B, L))
+    boxes2d = r.rand(B, L, 4).astype(np.float32)
+    valid = (r.rand(B, L) > 0.3).astype(np.float32)
+    concat = r.randn(B, 11, H, W).astype(np.float32)
+    x = r.randn(B, 2, H, W).astype(np.float32)
+    tsteps = r.randn(B).astype(np.float32)
+
+    tcond = {
+        "scaled_gt_boxes": torch.from_numpy(boxes9),
+        "gt_boxes_2d": torch.from_numpy(boxes2d),
+        "is_valid_obj": torch.from_numpy(valid),
+        "concat_cond": torch.from_numpy(concat),
+    }
+    with torch.no_grad():
+        tlayout = tenc(tcond)
+        want = tunet(
+            torch.from_numpy(x),
+            {"time_condition": torch.from_numpy(tsteps),
+             "other_condition": tlayout},
+        ).numpy()
+
+    jenc = LayoutTransformerEncoder(
+        **{**enc_kw,
+           "feature_map_size": tuple(enc_kw["feature_map_size"]),
+           "used_condition_types": tuple(enc_kw["used_condition_types"]),
+           "resolution_to_attention": tuple(enc_kw["resolution_to_attention"])})
+    junet = LayoutUnetV1(
+        **{k: (tuple(v) if isinstance(v, list) else v)
+           for k, v in unet_kw.items()},
+        use_ray_angle_coords=True,
+    )
+    ep = convert_layout_encoder({k: v.numpy() for k, v in tenc.state_dict().items()})
+    up = convert_layout_unet(
+        {k: v.numpy() for k, v in tunet.state_dict().items()},
+        channel_mult=(1, 2, 4, 8), num_res_blocks=2, attention_ds=(4, 8),
+    )
+
+    jcond = {
+        "scaled_gt_boxes": jnp.asarray(boxes9),
+        "gt_boxes_2d": jnp.asarray(boxes2d),
+        "is_valid_obj": jnp.asarray(valid),
+        "concat_cond": jnp.asarray(concat.transpose(0, 2, 3, 1)),
+    }
+    jlayout = jenc.apply(ep, jcond)
+
+    # encoder-output parity: xf_proj / xf_out / positional + patch embeddings
+    np.testing.assert_allclose(
+        np.asarray(jlayout["xf_proj"]), tlayout["xf_proj"].numpy(),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jlayout["xf_out"]).transpose(0, 2, 1),
+        tlayout["xf_out"].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jlayout["obj_bbox_embedding"]).transpose(0, 2, 1),
+        tlayout["obj_bbox_embedding"].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jlayout["obj_class_embedding"]).transpose(0, 2, 1),
+        tlayout["obj_class_embedding"].numpy(), rtol=1e-4, atol=1e-5)
+    for ds in (4, 8):
+        key = f"image_patch_bbox_embedding_for_resolution{H // ds}"
+        np.testing.assert_allclose(
+            np.asarray(jlayout[key]).transpose(0, 2, 1),
+            tlayout[key].numpy(), rtol=1e-4, atol=1e-5)
+
+    got = junet.apply(
+        up, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        {"time_condition": jnp.asarray(tsteps), "other_condition": jlayout},
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
