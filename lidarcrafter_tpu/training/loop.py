@@ -56,6 +56,7 @@ class Trainer:
             b2=cfg.training.adam_beta2,
             eps=cfg.training.adam_epsilon,
             weight_decay=cfg.training.adam_weight_decay,
+            grad_accum_steps=cfg.training.gradient_accumulation_steps,
         )
 
     # ------------------------------------------------------------------ init
@@ -190,6 +191,7 @@ class FlowTrainer(Trainer):
             b2=cfg.training.adam_beta2,
             eps=cfg.training.adam_epsilon,
             weight_decay=cfg.training.adam_weight_decay,
+            grad_accum_steps=cfg.training.gradient_accumulation_steps,
         )
 
     def init_state(self, rng):
@@ -265,6 +267,7 @@ class ObjectTrainer(Trainer):
             lr=cfg.training.lr,
             warmup_steps=cfg.training.lr_warmup_steps,
             num_steps=cfg.training.num_steps,
+            grad_accum_steps=cfg.training.gradient_accumulation_steps,
         )
 
     def init_state(self, rng):
@@ -385,6 +388,7 @@ class LayoutTrainer(Trainer):
             lr=cfg.training.lr,
             warmup_steps=cfg.training.lr_warmup_steps,
             num_steps=cfg.training.num_steps,
+            grad_accum_steps=cfg.training.gradient_accumulation_steps,
         )
 
     def init_state(self, rng):

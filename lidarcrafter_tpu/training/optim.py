@@ -44,9 +44,24 @@ def make_optimizer(
     eps: float = 1e-8,
     weight_decay: float = 0.0,
     grad_clip: float = 1.0,
+    grad_accum_steps: int = 1,
 ) -> optax.GradientTransformation:
+    """AdamW + clip(+accumulation).
+
+    With ``grad_accum_steps=k`` the optimizer matches the reference's
+    ``accelerator.accumulate`` semantics (``train_lidm.py:219-226``): every
+    call is a micro-step, gradients average over k micro-batches, parameters
+    update on every k-th call, and the LR schedule advances per *micro*-step
+    (the inner update count is scaled by k).
+    """
     schedule = cosine_warmup_schedule(lr, warmup_steps, num_steps)
-    return optax.chain(
+    if grad_accum_steps > 1:
+        inner, k = schedule, grad_accum_steps
+        schedule = lambda count: inner(count * k)  # noqa: E731
+    tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
     )
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+    return tx

@@ -166,3 +166,52 @@ def test_layout_trainer_steps():
     assert b["boxes"].shape == (16, 40)
     assert float(jnp.abs(b["boxes"][8:]).max()) == 0.0
     assert not bool(b["scenegraph"]["edge_mask"][10])
+
+
+def test_gradient_accumulation_equals_full_batch_step():
+    """k accumulation micro-steps == 1 full-batch step on identical data
+    (reference semantics: train_lidm.py:219-226, accelerator.accumulate)."""
+    from types import SimpleNamespace
+
+    k, B = 3, 2
+    model, params, _ = _tiny_setup(batch=B)
+
+    # deterministic engine: rng is ignored so micro/full grads are comparable
+    engine = SimpleNamespace(
+        loss=lambda p, rng, x0: jnp.mean(
+            (model.apply(p, x0, jnp.zeros((x0.shape[0],))) - x0) ** 2
+        )
+    )
+
+    micro = jax.random.normal(jax.random.PRNGKey(3), (k, B, 16, 32, 2))
+    rng = jax.random.PRNGKey(0)
+
+    tx_acc = make_optimizer(lr=1e-3, warmup_steps=1, num_steps=100,
+                            grad_accum_steps=k)
+    state_a = TrainState.create(params, tx_acc)
+    step_a = make_train_step(engine, tx_acc, ema_update_after_step=0,
+                             donate=False)
+    for i in range(k):
+        state_a, _ = step_a(state_a, micro[i], rng)
+    assert int(state_a.step) == k  # micro-steps count like reference global_step
+
+    tx_full = make_optimizer(lr=1e-3, warmup_steps=1, num_steps=100)
+    state_f = TrainState.create(params, tx_full)
+    step_f = make_train_step(engine, tx_full, ema_update_after_step=0,
+                             donate=False)
+    state_f, _ = step_f(state_f, micro.reshape(k * B, 16, 32, 2), rng)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        state_a.params, state_f.params,
+    )
+
+    # before the k-th micro-step no parameter update must have been applied
+    state_b = TrainState.create(params, tx_acc)
+    for i in range(k - 1):
+        state_b, _ = step_a(state_b, micro[i], rng)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state_b.params, params,
+    )
