@@ -17,11 +17,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel import batch_sharding, make_mesh, replicated_sharding
+from ..utils.profiling import StepTimer
 from .checkpoint import save_checkpoint
 from .factory import build_diffusion_training
-from .optim import make_optimizer
+from .optim import cosine_warmup_schedule, make_optimizer
 from .preprocess import preprocess_autoregressive_cond, preprocess_condition_mask, preprocess_x0
 from .state import TrainState
+from .tracker import render_sample_images
 from .train_step import make_train_step
 
 
@@ -39,6 +41,10 @@ class Trainer:
         mesh=None,
         output_dir: str | None = None,
         log_fn: Callable[[dict], None] | None = print,
+        tracker=None,
+        profile_dir: str | None = None,
+        preview_num_steps: int | None = None,
+        preview_batch_size: int | None = None,
     ):
         self.cfg = cfg
         self.data_iter = data_iter
@@ -47,6 +53,14 @@ class Trainer:
         self.models, self.engine, self.lidar_utils = build_diffusion_training(cfg)
         self.is_cond = isinstance(self.models, dict)
         self.mesh = mesh if mesh is not None else make_mesh(sp=1)
+        # observability (cf. train_lidm.py:57-73,173-198,237-244)
+        self.tracker = tracker
+        self.profile_dir = profile_dir
+        self.preview_num_steps = preview_num_steps or cfg.diffusion.num_sampling_steps
+        self.preview_batch_size = preview_batch_size or cfg.training.batch_size_eval
+        self.lr_schedule = cosine_warmup_schedule(
+            cfg.training.lr, cfg.training.lr_warmup_steps, cfg.training.num_steps
+        )
 
         self.tx = make_optimizer(
             lr=cfg.training.lr,
@@ -116,6 +130,32 @@ class Trainer:
             )
         return input_dict
 
+    # -------------------------------------------------------------- preview
+
+    def preview_images(self, state: TrainState, rng: jax.Array,
+                       batch=None) -> dict:
+        """DDIM-sample with EMA weights and render depth/BEV/reflectance
+        images; cf. ``train_lidm.py:237-244`` + its ``log_images``."""
+        if self.is_cond:
+            if batch is None:
+                return {}
+            bs = int(batch["x_0"].shape[0]) if "x_0" in batch \
+                else self.preview_batch_size
+            sample = self.engine.sample(
+                state.ema_params, rng, batch, batch_size=bs,
+                num_steps=self.preview_num_steps, mode="ddim",
+            )
+        else:
+            sample = self.engine.sample(
+                state.ema_params, rng, self.preview_batch_size,
+                self.preview_num_steps, mode="ddim",
+            )
+        return render_sample_images(
+            sample, self.lidar_utils,
+            train_depth=self.cfg.data.train_depth,
+            train_reflectance=self.cfg.data.train_reflectance,
+        )
+
     # ------------------------------------------------------------------ run
 
     def train(
@@ -124,10 +164,14 @@ class Trainer:
         rng: jax.Array | None = None,
         state: TrainState | None = None,
         checkpoint_every: int | None = None,
+        preview_every: int | None = None,
+        log_every: int = 50,
     ) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.training.seed)
         num_steps = num_steps or self.cfg.training.num_steps
         checkpoint_every = checkpoint_every or self.cfg.training.steps_save_model
+        preview_every = preview_every if preview_every is not None \
+            else self.cfg.training.steps_save_image
 
         if state is None:
             state = self.init_state(rng)
@@ -142,7 +186,9 @@ class Trainer:
             * self.cfg.training.gradient_accumulation_steps,
         )
 
-        t0 = time.perf_counter()
+        timer = StepTimer()
+        profiling = False
+        prepared = None
         while int(jax.device_get(state.step)) < num_steps:
             batch = next(self.data_iter)
             prepared = self.prepare_batch(batch)
@@ -154,18 +200,47 @@ class Trainer:
             )
             state, loss = step_fn(state, prepared, rng)
             step = int(jax.device_get(state.step))
-            if self.log_fn is not None and (step % 50 == 0 or step <= 2):
-                self.log_fn(
-                    {
-                        "step": step,
-                        "loss": float(jax.device_get(loss)),
-                        "sec_per_step": (time.perf_counter() - t0) / max(step, 1),
-                    }
-                )
+            timer.tick()
+
+            # capture a 3-step XProf trace once past compile warmup
+            if self.profile_dir and step == 3 and not profiling:
+                jax.profiler.start_trace(self.profile_dir)
+                profiling = True
+            elif profiling and step >= 6:
+                jax.profiler.stop_trace()
+                profiling = False
+
+            if step % log_every == 0 or step <= 2:
+                log = {
+                    "step": step,
+                    "loss": float(jax.device_get(loss)),
+                    "lr": float(self.lr_schedule(step)),
+                    "sec_per_step": timer.mean,
+                }
+                if self.log_fn is not None:
+                    self.log_fn(log)
+                if self.tracker is not None:
+                    self.tracker.log(
+                        {k: v for k, v in log.items() if k != "step"}, step
+                    )
+            if (
+                self.tracker is not None
+                and preview_every
+                and step % preview_every == 0
+            ):
+                try:
+                    images = self.preview_images(state, rng, prepared)
+                    if images:
+                        self.tracker.log_images(images, step)
+                except Exception as e:  # previews must never kill training
+                    if self.log_fn is not None:
+                        self.log_fn({"step": step, "preview_error": str(e)})
             if checkpoint_every and step % checkpoint_every == 0:
                 save_checkpoint(
                     str(self.output_dir / f"ckpt_{step:010d}"), state, self.cfg
                 )
+        if profiling:
+            jax.profiler.stop_trace()
         return state
 
 

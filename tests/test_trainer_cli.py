@@ -114,3 +114,51 @@ def test_flow_and_object_trainers():
     t = ObjectTrainer(cfg, obatches(), text, log_fn=None)
     state = t.train(num_steps=2)
     assert int(jax.device_get(state.step)) == 2
+
+
+def test_trainer_observability(tmp_path):
+    """A short run must emit step timings + lr to the tracker and render EMA
+    sample previews (cf. train_lidm.py:173-198,237-244)."""
+    import json
+
+    from lidarcrafter_tpu.training.loop import Trainer
+    from lidarcrafter_tpu.training.tracker import JsonlTracker
+
+    from lidarcrafter_tpu.parallel import make_mesh
+
+    cfg = _tiny_cfg()
+    cfg.training.num_steps = 2
+    tracker = JsonlTracker(str(tmp_path))
+    trainer = Trainer(
+        cfg, _batches(cfg), mesh=make_mesh(n_devices=2),
+        output_dir=str(tmp_path), log_fn=None,
+        tracker=tracker, preview_num_steps=2, preview_batch_size=1,
+    )
+    trainer.train(num_steps=2, checkpoint_every=0, preview_every=2, log_every=1)
+    tracker.close()
+
+    events = [json.loads(l) for l in open(tmp_path / "events.jsonl")]
+    assert {e["step"] for e in events} >= {1, 2}
+    for key in ("loss", "lr", "sec_per_step"):
+        assert key in events[0], events[0]
+    pngs = list((tmp_path / "images").rglob("*.png"))
+    tags = {p.stem for p in pngs}
+    assert {"sample_depth", "sample_bev", "sample_reflectance"} <= tags, tags
+
+
+def test_render_sample_images_shapes():
+    import jax.numpy as jnp
+
+    from lidarcrafter_tpu.training.tracker import render_sample_images
+    from lidarcrafter_tpu.utils.lidar import LiDARUtility
+
+    lu = LiDARUtility.create((8, 16), "log_depth", 1.45, 80.0, fov_up=10.0,
+                             fov_down=-30.0)
+    x = jnp.zeros((2, 8, 16, 2))
+    out = render_sample_images(x, lu, bev_size=32)
+    for tag in ("sample/depth", "sample/depth_orig", "sample/mask",
+                "sample/bev", "sample/reflectance"):
+        assert tag in out
+        assert out[tag].dtype == np.uint8
+    assert out["sample/depth"].shape == (2, 8, 16, 3)
+    assert out["sample/bev"].shape == (2, 32, 32, 3)
