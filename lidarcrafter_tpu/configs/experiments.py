@@ -140,14 +140,23 @@ def _box_layout_base(out_channels=10, num_steps=300_000) -> ExperimentConfig:
 
 
 def nusc_box_layout() -> ExperimentConfig:
-    """cf. ``option_nusc_box_layout.py`` (v0): layout_unet, model_channels 256."""
+    """cf. ``option_nusc_box_layout.py`` (v0): faithful LayoutUnet — plain
+    convs, ADM resampling, channel_mult (1,1,2), attention at ds=4 only, and
+    NO concat conditioning (that config's DiffusionConfig has no ``cond_mode``
+    — layout enters through cross-attention + xf_proj alone)."""
     cfg = _box_layout_base()
     cfg.model.architecture = "layout_unet"
     cfg.model.params.update(
         model_channels=256, encoder_channels=256, num_head_channels=64,
-        attention_ds=(4,),
+        attention_ds=(4,), channel_mult=(1, 1, 2),
     )
-    cfg.condition_model.params["out_channels"] = 10
+    # encoder at production width (option_nusc_box_layout.py:31-51)
+    cfg.condition_model.params.update(
+        hidden_dim=256, output_dim=1024, num_heads=8,
+        resolution_to_attention=(1, 2, 4),
+    )
+    cfg.condition_model.params.pop("out_channels", None)
+    cfg.diffusion.cond_mode = None
     return cfg
 
 

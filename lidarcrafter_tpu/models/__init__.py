@@ -5,9 +5,10 @@ unchanged.  Entries are appended as each family lands.
 """
 
 from .hdit import HDiT
+from .easy_unet import Identity, SpatialRescaler
 from .efficient_unet import EfficientUNet, EfficientUNetCond, MFEfficientUNet
 from .layout_encoder import LayoutTransformerEncoder, LayoutTransformerEncoderV5
-from .layout_unet import LayoutUnetV1
+from .layout_unet import LayoutUnet, LayoutUnetV1
 from .openai_unet import OpenAIUNet
 from .point_unet import ObjectGenEncoder, PointUNet
 from .scene_graph import SceneGraph
@@ -21,8 +22,8 @@ __all_models__ = {
     "layout_encoder": LayoutTransformerEncoder,
     "layout_encoder_v5": LayoutTransformerEncoderV5,
     "layout_unet_v1": LayoutUnetV1,
-    # v0 uses the GLIDE attention path of the same trunk (see configs nusc_box_layout)
-    "layout_unet": LayoutUnetV1,
+    # faithful v0: plain convs + ADM nearest/avg-pool resampling (layout_unet.py)
+    "layout_unet": LayoutUnet,
     "unet_1d": UNet1DModel,
     "scene_graph": SceneGraph,
     "object_gen_encoder": ObjectGenEncoder,
@@ -30,6 +31,8 @@ __all_models__ = {
     "hdit": HDiT,
     "refinenet": LiDARGenRefineNet,
     "openai_unet": OpenAIUNet,
+    "easy_unet": SpatialRescaler,
+    "identity": Identity,
 }
 
 

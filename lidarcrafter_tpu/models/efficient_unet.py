@@ -26,7 +26,14 @@ import numpy as np
 
 from ..utils.lidar import get_linear_ray_angles_np
 from . import encoding as enc
-from .ops import Resample, ResidualBlock, RingConv, SelfAttention2d, sinusoidal_embedding
+from .ops import (
+    Resample,
+    ResidualBlock,
+    RingConv,
+    SelfAttention2d,
+    adm_timestep_embedding,
+    sinusoidal_embedding,
+)
 
 
 def _n_tuple(x, N: int) -> tuple:
@@ -38,14 +45,21 @@ def _n_tuple(x, N: int) -> tuple:
 
 
 class TimeEmbedding(nn.Module):
-    """sinusoidal → Dense → SiLU → Dense; cf. ``efficient_unet.py:237-242``."""
+    """sinusoidal → Dense → SiLU → Dense; cf. ``efficient_unet.py:237-242``.
+
+    ``adm=True`` swaps in the ADM/GLIDE ``timestep_embedding`` sinusoid
+    (``nn.py:114-132``), used by the v0 LayoutUnet (``layout_unet.py:915``).
+    Param names are unchanged, so converters are shared.
+    """
 
     base_channels: int
     temb_channels: int
+    adm: bool = False
 
     @nn.compact
     def __call__(self, timesteps: jnp.ndarray) -> jnp.ndarray:
-        h = sinusoidal_embedding(timesteps, self.base_channels)
+        embed = adm_timestep_embedding if self.adm else sinusoidal_embedding
+        h = embed(timesteps, self.base_channels)
         h = nn.Dense(self.temb_channels)(h)
         h = nn.silu(h)
         h = nn.Dense(self.temb_channels)(h)

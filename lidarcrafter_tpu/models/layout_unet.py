@@ -47,6 +47,7 @@ class ResBlockADM(nn.Module):
     up: bool = False
     down: bool = False
     ring: bool = True
+    fir: bool = True  # False = v0's ADM h_upd/x_upd (nearest / avg-pool)
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
@@ -54,10 +55,19 @@ class ResBlockADM(nn.Module):
         h = gn32(name="in_norm")(x)
         h = nn.silu(h)
         if self.up or self.down:
-            op = Resample(
-                up=2 if self.up else 1, down=2 if self.down else 1, ring=self.ring,
-                name="updown",
-            )
+            if self.fir:
+                op = Resample(
+                    up=2 if self.up else 1, down=2 if self.down else 1, ring=self.ring,
+                    name="updown",
+                )
+            elif self.up:
+                # v0 h_upd/x_upd = Upsample(use_conv=False): 2x nearest
+                # (``layout_unet.py:190-193,102-107``)
+                op = lambda t: jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)
+            else:
+                # v0 Downsample(use_conv=False): 2x2 avg pool
+                # (``layout_unet.py:193-196,134-139``)
+                op = lambda t: nn.avg_pool(t, (2, 2), strides=(2, 2))
             h = op(h)
             x = op(x)
         h = RingConv(self.out_channels, ring=self.ring, name="in_conv")(h)
@@ -254,6 +264,9 @@ class LayoutUnetV1(nn.Module):
     coords_encoding: str | None = "fourier_features"
     use_positional_embedding_for_attention: bool = True
     ring: bool = True
+    fir_updown: bool = True  # False = v0 nearest/avg-pool updown ResBlocks
+    adm_time_embed: bool = False  # True = v0 functional timestep_embedding
+    use_concat_cond: bool = True  # v0 forward has no concat_cond input
     use_ray_angle_coords: bool = False
     fov_up: float = 10.0
     fov_down: float = -30.0
@@ -290,11 +303,13 @@ class LayoutUnetV1(nn.Module):
             timesteps = jnp.full((B,), timesteps)
 
         temb_dim = self.model_channels * 4
-        emb = TimeEmbedding(self.model_channels, temb_dim, name="time_embed")(timesteps)
+        emb = TimeEmbedding(
+            self.model_channels, temb_dim, adm=self.adm_time_embed, name="time_embed"
+        )(timesteps)
         emb = emb + layout["xf_proj"].astype(emb.dtype)
 
         h = x
-        if "concat_cond" in layout:
+        if self.use_concat_cond and "concat_cond" in layout:
             h = jnp.concatenate([h, layout["concat_cond"]], axis=-1)
 
         if self.coords_encoding is not None:
@@ -316,6 +331,7 @@ class LayoutUnetV1(nn.Module):
                 dropout=self.dropout,
                 use_scale_shift_norm=self.use_scale_shift_norm,
                 ring=self.ring,
+                fir=self.fir_updown,
                 name=name,
                 **kw,
             )
@@ -368,3 +384,26 @@ class LayoutUnetV1(nn.Module):
         return RingConv(
             self.out_channels, ring=self.ring, zero_init=True, name="out_conv"
         )(h)
+
+
+class LayoutUnet(LayoutUnetV1):
+    """Faithful v0 variant (registry key ``layout_unet``); cf.
+    ``lidargen/models/unets/layout_unet.py:97-235,600-880``.
+
+    Differs from V1 in exactly the ways the reference modules differ:
+    plain zero-padded convs (no azimuth ring), ADM ``h_upd``/``x_upd``
+    resampling in up/down ResBlocks (2x nearest / 2x2 avg-pool instead of the
+    FIR ``ops.Resample``), the functional ADM ``timestep_embedding`` sinusoid
+    ahead of a 2-Linear MLP (``layout_unet.py:915``; state-dict keys
+    ``time_embed.0/2`` instead of V1's ``time_embed.1/3``), a fixed 32x1024
+    resolution, and no coords-encoding or ``concat_cond`` input concat
+    (``layout_unet.py:848-880`` forward).  Drives the ``nuscenes-box-layout``
+    config (``option_nusc_box_layout.py:7``).
+    """
+
+    resolution: tuple[int, int] = (32, 1024)
+    ring: bool = False
+    fir_updown: bool = False
+    adm_time_embed: bool = True
+    use_concat_cond: bool = False
+    coords_encoding: str | None = None

@@ -47,6 +47,21 @@ def sinusoidal_embedding(
     return jnp.concatenate([jnp.sin(h), jnp.cos(h)], axis=-1)
 
 
+def adm_timestep_embedding(
+    x: jnp.ndarray, channels: int, max_period: int = 10_000
+) -> jnp.ndarray:
+    """ADM/GLIDE sinusoidal embedding; cf. ``nn.py:114-132``
+    (``timestep_embedding``).  Differs from :func:`sinusoidal_embedding` in
+    the frequency denominator (``half`` not ``half - 1``) and the concat
+    order ([cos, sin])."""
+    half = channels // 2
+    freqs = jnp.exp(
+        -math.log(max_period) / half * jnp.arange(half, dtype=jnp.float32)
+    )
+    h = x[:, None].astype(jnp.float32) * freqs[None, :]
+    return jnp.concatenate([jnp.cos(h), jnp.sin(h)], axis=-1)
+
+
 class RingConv(nn.Module):
     """3x3 (or kxk) conv with circular W padding; cf. ``ops.py:149-173``."""
 

@@ -103,3 +103,28 @@ def test_factory_flow_branch():
     params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)), jnp.zeros((1,)))
     loss, mse = engine.loss(params, jax.random.PRNGKey(1), x)
     assert np.isfinite(float(loss))
+
+
+def test_config_box_layout_v0_faithful():
+    """v0 (``option_nusc_box_layout.py``): layout_unet arch, channel_mult
+    (1,1,2), attention at ds=4 only, wide encoder, NO concat cond."""
+    from lidarcrafter_tpu.models.layout_unet import LayoutUnet
+    from lidarcrafter_tpu.training.factory import build_diffusion_training
+
+    cfg = get_config("nuscenes-box-layout")
+    assert cfg.model.architecture == "layout_unet"
+    assert tuple(cfg.model.params["channel_mult"]) == (1, 1, 2)
+    assert tuple(cfg.model.params["attention_ds"]) == (4,)
+    assert cfg.condition_model.params["hidden_dim"] == 256
+    assert cfg.condition_model.params["output_dim"] == 1024
+    assert cfg.diffusion.cond_mode is None
+    assert "out_channels" not in cfg.condition_model.params
+
+    model, engine, _ = build_diffusion_training(cfg)
+    assert isinstance(model["model"] if isinstance(model, dict) else model,
+                      LayoutUnet)
+    m = model["model"] if isinstance(model, dict) else model
+    # no concat add: in = depth + reflectance only, v0 traits
+    assert m.in_channels == 2
+    assert not m.ring and not m.fir_updown and m.adm_time_embed
+    assert m.coords_encoding is None

@@ -757,3 +757,128 @@ def test_layout_stack_numerical_parity_with_reference():
     )
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def _load_ref_layout_unet_v0():
+    """Load the reference v0 ``layout_unet`` module (executed, never copied)."""
+    pkg = sys.modules["refunets"]
+    for name in ("nn", "util", "fp16_util", "layout_unet"):
+        if f"refunets.{name}" in sys.modules:
+            continue
+        spec = importlib.util.spec_from_file_location(
+            f"refunets.{name}", REF / f"lidargen/models/unets/{name}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refunets.{name}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(pkg, name, mod)
+    return sys.modules["refunets.layout_unet"]
+
+
+def test_layout_unet_v0_numerical_parity_with_reference():
+    """Execute the reference v0 LayoutUnet (``layout_unet.py:600``; plain
+    convs, ADM h_upd/x_upd resampling, functional timestep embedding) at the
+    ``option_nusc_box_layout.py`` topology (narrowed W) and compare forwards
+    through the converted weights — so ``nuscenes-box-layout`` checkpoints
+    ingest faithfully."""
+    ref_lu0 = _load_ref_layout_unet_v0()
+    _, ref_le, _ = _load_ref_layout_stack()
+
+    from lidarcrafter_tpu.models.layout_encoder import LayoutTransformerEncoder
+    from lidarcrafter_tpu.models.layout_unet import LayoutUnet
+    from lidarcrafter_tpu.utils.torch_ckpt import (
+        convert_layout_encoder,
+        convert_layout_unet,
+    )
+
+    H, W, B, L = 32, 256, 2, 13
+    # option_nusc_box_layout.py:31-51, hidden/output narrowed 4x
+    enc_kw = dict(
+        feature_map_size=[H, W],
+        used_condition_types=["obj_class", "obj_bbox", "is_valid_obj"],
+        layout_length=L, num_classes_for_layout_object=9,
+        mask_size_for_layout_object=32, hidden_dim=64, output_dim=256,
+        num_layers=3, num_heads=4, use_final_ln=True,
+        use_positional_embedding=False, not_use_layout_fusion_module=False,
+        resolution_to_attention=[4], use_key_padding_mask=False,
+    )
+    # option_nusc_box_layout.py:9-28, model_channels narrowed 4x
+    unet_kw = dict(
+        in_channels=2, image_size=H, use_scale_shift_norm=True,
+        out_channels=2, model_channels=64, encoder_channels=64,
+        num_head_channels=32, num_heads=-1, num_heads_upsample=-1,
+        num_res_blocks=2, num_attention_blocks=1, resblock_updown=True,
+        attention_ds=[4], channel_mult=[1, 1, 2], dropout=0.1,
+        attention_block_type="ObjectAwareCrossAttention",
+        use_positional_embedding_for_attention=True,
+    )
+
+    torch.manual_seed(0)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        tenc = ref_le.LayoutTransformerEncoder(**enc_kw).eval()
+        tunet = ref_lu0.LayoutUnet(
+            **unet_kw, use_fp16=False, use_checkpoint=False
+        ).eval()
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    with torch.no_grad():
+        for m in (tenc, tunet):
+            for p in m.parameters():
+                if p.abs().sum() == 0:
+                    p.normal_(0, 0.02)
+
+    r = np.random.RandomState(1)
+    boxes9 = r.rand(B, L, 9).astype(np.float32)
+    boxes9[..., -1] = r.randint(0, 9, (B, L))
+    boxes2d = r.rand(B, L, 4).astype(np.float32)
+    valid = (r.rand(B, L) > 0.3).astype(np.float32)
+    x = r.randn(B, 2, H, W).astype(np.float32)
+    tsteps = r.randn(B).astype(np.float32)
+
+    tcond = {
+        "scaled_gt_boxes": torch.from_numpy(boxes9),
+        "gt_boxes_2d": torch.from_numpy(boxes2d),
+        "is_valid_obj": torch.from_numpy(valid),
+    }
+    with torch.no_grad():
+        tlayout = tenc(tcond)
+        want = tunet(
+            torch.from_numpy(x),
+            {"time_condition": torch.from_numpy(tsteps),
+             "other_condition": tlayout},
+        ).numpy()
+
+    jenc = LayoutTransformerEncoder(
+        **{**enc_kw,
+           "feature_map_size": tuple(enc_kw["feature_map_size"]),
+           "used_condition_types": tuple(enc_kw["used_condition_types"]),
+           "resolution_to_attention": tuple(enc_kw["resolution_to_attention"])})
+    junet = LayoutUnet(
+        **{k: (tuple(v) if isinstance(v, list) else v)
+           for k, v in unet_kw.items()},
+        resolution=(H, W),
+    )
+    ep = convert_layout_encoder({k: v.numpy() for k, v in tenc.state_dict().items()})
+    up = convert_layout_unet(
+        {k: v.numpy() for k, v in tunet.state_dict().items()},
+        channel_mult=(1, 1, 2), num_res_blocks=2, attention_ds=(4,),
+    )
+
+    jcond = {
+        "scaled_gt_boxes": jnp.asarray(boxes9),
+        "gt_boxes_2d": jnp.asarray(boxes2d),
+        "is_valid_obj": jnp.asarray(valid),
+    }
+    jlayout = jenc.apply(ep, jcond)
+    np.testing.assert_allclose(
+        np.asarray(jlayout["xf_proj"]), tlayout["xf_proj"].numpy(),
+        rtol=1e-4, atol=1e-5)
+
+    got = junet.apply(
+        up, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        {"time_condition": jnp.asarray(tsteps), "other_condition": jlayout},
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
