@@ -6,6 +6,13 @@ TPU-native re-design of the reference CUDA kernel
 reductions (``top_k`` + ``segment_max``) inside a ``lax.fori_loop`` — the same
 auction with deterministic tie-breaking instead of CUDA atomics.
 
+The bidding phase never materialises the (n, n) distance matrix: rows are
+processed in chunks of ``chunk`` inside the loop (distances via the
+``|a|² + |b|² − 2a·b`` matmul form, so the hot op is an MXU (chunk, D)×(D, n)
+matmul).  At the reference's eval scale (26k padded points,
+``evaluate_our.py:56-61``) peak temp memory is chunk·n·4 B ≈ 100 MB instead of
+the ~2.7 GB a dense matrix would need.
+
 Semantics (cf. ``emd_module.py:6-18``): both clouds are (B, N, D) with equal N
 (the reference requires N % 1024 == 0 and B ≤ 512 for its launch geometry —
 not needed here), values normalized to [0, 1].  Returns squared distances
@@ -22,19 +29,37 @@ import jax
 import jax.numpy as jnp
 
 
-def _auction_single(x1: jnp.ndarray, x2: jnp.ndarray, eps: float, iters: int):
+def _auction_single(x1: jnp.ndarray, x2: jnp.ndarray, eps: float, iters: int, chunk: int):
     n = x1.shape[0]
-    d2 = jnp.sum((x1[:, None, :] - x2[None, :, :]) ** 2, axis=-1)  # (n, n)
-    # auction value uses L2 (cf. ``emd_cuda.cu:146``: 3.0 - sqrt(...) - price)
-    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    x1p = jnp.pad(x1, ((0, pad), (0, 0)))
+    sq1 = jnp.sum(x1p * x1p, axis=-1).reshape(-1, chunk)
+    x1c = x1p.reshape(-1, chunk, x1.shape[-1])
+    sq2 = jnp.sum(x2 * x2, axis=-1)
+    x2t = x2.T
     k_ids = jnp.arange(n, dtype=jnp.int32)
+
+    def row_top2(price):
+        """Per row i: top-2 of value(i, ·) = 3 − ‖x1ᵢ − x2ⱼ‖ − priceⱼ, chunked."""
+
+        def one(args):
+            xc, s1 = args
+            d2 = s1[:, None] + sq2[None, :] - 2.0 * jnp.dot(
+                xc, x2t, preferred_element_type=jnp.float32
+            )
+            # auction value uses L2 (cf. ``emd_cuda.cu:146``: 3.0 - sqrt - price)
+            value = 3.0 - jnp.sqrt(jnp.maximum(d2, 0.0)) - price[None, :]
+            top2, top2_idx = jax.lax.top_k(value, 2)
+            return top2, top2_idx[:, 0].astype(jnp.int32)
+
+        top2, best = jax.lax.map(one, (x1c, sq1))
+        return top2.reshape(-1, 2)[:n], best.reshape(-1)[:n]
 
     def body(i, state):
         assignment, assignment_inv, price = state
         unass = assignment < 0
-        value = 3.0 - dist - price[None, :]
-        top2, top2_idx = jax.lax.top_k(value, 2)
-        best_k = top2_idx[:, 0].astype(jnp.int32)
+        top2, best_k = row_top2(price)
         incr = top2[:, 0] - top2[:, 1] + eps
         bid_inc = jnp.where(unass, incr, -jnp.inf)
 
@@ -70,25 +95,33 @@ def _auction_single(x1: jnp.ndarray, x2: jnp.ndarray, eps: float, iters: int):
     )
     assignment, _, _ = jax.lax.fori_loop(0, iters, body, init)
     assignment = jnp.clip(assignment, 0, n - 1)
-    out_d2 = jnp.take_along_axis(d2, assignment[:, None].astype(jnp.int32), axis=1)[:, 0]
+    # exact per-pair distance (no matrix gather; keeps grads to x1)
+    out_d2 = jnp.sum((x1 - x2[assignment]) ** 2, axis=-1)
     return out_d2, assignment
 
 
-@partial(jax.jit, static_argnames=("eps", "iters"))
+@partial(jax.jit, static_argnames=("eps", "iters", "chunk"))
 def emd_auction(
     xyz1: jnp.ndarray,
     xyz2: jnp.ndarray,
     eps: float = 0.005,
     iters: int = 50,
+    chunk: int = 1024,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(B, N, D) × (B, N, D) → (dist² (B, N), assignment (B, N))."""
     assert xyz1.shape == xyz2.shape
-    fn = partial(_auction_single, eps=eps, iters=iters)
+    fn = partial(_auction_single, eps=eps, iters=iters, chunk=chunk)
     return jax.vmap(fn)(xyz1, xyz2)
 
 
-def emd_metric(xyz1: jnp.ndarray, xyz2: jnp.ndarray, eps: float = 0.005, iters: int = 50):
+def emd_metric(
+    xyz1: jnp.ndarray,
+    xyz2: jnp.ndarray,
+    eps: float = 0.005,
+    iters: int = 50,
+    chunk: int = 1024,
+):
     """Scalar EMD as used by the eval suite (``metric_utils.py:447-458``):
     mean over points of sqrt(dist²)."""
-    d2, _ = emd_auction(xyz1, xyz2, eps=eps, iters=iters)
+    d2, _ = emd_auction(xyz1, xyz2, eps=eps, iters=iters, chunk=chunk)
     return jnp.mean(jnp.sqrt(jnp.maximum(d2, 0.0)))

@@ -151,3 +151,29 @@ def test_emd_batched_and_shapes():
     got = np.asarray(d2)[0]
     want = np.sum((x1[0] - x2[0][np.asarray(assign)[0]]) ** 2, axis=1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_emd_chunked_matches_single_chunk():
+    """The chunked bidding path must be exactly the same auction: compare
+    chunk=256 against chunk=n (one chunk) on identical inputs."""
+    rng = np.random.RandomState(4)
+    x1 = rng.rand(2, 512, 3).astype(np.float32)
+    x2 = rng.rand(2, 512, 3).astype(np.float32)
+    d_small, a_small = emd_auction(jnp.asarray(x1), jnp.asarray(x2), iters=20, chunk=256)
+    d_full, a_full = emd_auction(jnp.asarray(x1), jnp.asarray(x2), iters=20, chunk=512)
+    np.testing.assert_array_equal(np.asarray(a_small), np.asarray(a_full))
+    np.testing.assert_allclose(np.asarray(d_small), np.asarray(d_full), rtol=1e-5, atol=1e-7)
+
+
+def test_emd_eval_scale_memory_bounded():
+    """Eval-scale cloud (8k points, cf. 26k padded at ``evaluate_our.py:56-61``):
+    the chunked path must run without materialising the (n, n) matrix and give
+    near-zero EMD on a permuted cloud."""
+    rng = np.random.RandomState(5)
+    n = 8192
+    x1 = rng.rand(1, n, 3).astype(np.float32)
+    x2 = x1[:, rng.permutation(n)]
+    d2, assign = emd_auction(jnp.asarray(x1), jnp.asarray(x2), eps=0.02, iters=8, chunk=1024)
+    val = float(jnp.sqrt(jnp.maximum(d2, 0)).mean())
+    assert np.isfinite(val) and val < 0.25
+    assert (np.asarray(assign) >= 0).all() and (np.asarray(assign) < n).all()
