@@ -3,31 +3,92 @@
 The reference's FSVD/FPVD backbones run on torchsparse CUDA kernels
 (``lidargen/metrics/models/{spvcnn,minkowskinet}/model.py``).  The TPU-native
 formulation: voxels live in a flat (V, C) table with int coordinates; neighbor
-lookup is a vectorized binary search over the sorted coordinate keys
-(``searchsorted`` — log V steps, fully parallel on the VPU), and each of the
-27 kernel taps is one gathered (V, Cin) × (Cin, Cout) matmul on the MXU.
+lookup is a vectorized binary search over lexicographically sorted coordinate
+keys (log V steps, fully parallel on the VPU), and each of the 27 kernel taps
+is one gathered (V, Cin) × (Cin, Cout) matmul on the MXU.
+
+Coordinate keys are (hi, lo) int32 PAIRS — hi = x, lo = y·2¹⁵ + z — compared
+lexicographically, so grids up to 2³¹ × 32767 × 32767 cells are exact with x64
+disabled.  (nuScenes extents ±80 m at the 0.05 m eval voxel size need 3,200
+cells/axis; the old single-int32 packing capped at 1,024 and would silently
+collide.)
 
 All shapes static: V is the padded voxel budget with a validity mask.
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-# int32 keys (x64 is disabled): coordinate range per axis after offsetting is
-# limited to 1024 cells — adequate for the eval voxel grids (e.g. 0.1 m voxels
-# over +-50 m); larger grids need the x64 key path (planned).
-_HASH_BASE = jnp.int32(1024)
+# lo-key packing base for (y, z): y and z must stay in [-_LO_BASE, _LO_BASE),
+# which keeps lo = y·_LO_BASE + z injective for the ±1-cell neighbor offsets
+# the conv taps generate.  Grid limit: 32767 cells along y and z, 2³¹ along x.
+_LO_BASE = jnp.int32(1 << 15)
 _KEY_MAX = jnp.iinfo(jnp.int32).max
 
 
-def coords_key(coords: jnp.ndarray) -> jnp.ndarray:
-    """(V, 3) int coords → sortable int32 keys (coords in [0, 1024) per axis)."""
+def coords_key(coords: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(V, 3) int coords → lexicographic (hi, lo) int32 key pair.
+
+    Valid voxel coords are non-negative (offset upstream); query coords may
+    stray ±1 outside the grid and simply never match a stored key.
+    """
     c = coords.astype(jnp.int32)
-    return (c[:, 0] * _HASH_BASE + c[:, 1]) * _HASH_BASE + c[:, 2]
+    return c[:, 0], c[:, 1] * _LO_BASE + c[:, 2]
+
+
+def _masked_keys(coords: jnp.ndarray, mask: jnp.ndarray, sentinel=None):
+    hi, lo = coords_key(coords)
+    s = _KEY_MAX if sentinel is None else sentinel
+    return jnp.where(mask, hi, s), jnp.where(mask, lo, s)
+
+
+def _lex_argsort(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """argsort by (hi, lo) lexicographically."""
+    return jnp.lexsort((lo, hi))
+
+
+def _pair_less(ah, al, bh, bl):
+    return (ah < bh) | ((ah == bh) & (al < bl))
+
+
+def _lower_bound_pair(shi, slo, qhi, qlo):
+    """Vectorized lower_bound over a lexicographically sorted (hi, lo) table:
+    fixed ⌈log₂(V+1)⌉ gather+compare steps (binary search on the VPU)."""
+    V = shi.shape[0]
+    steps = max(1, math.ceil(math.log2(V + 1)))
+    lo_b = jnp.zeros(qhi.shape, jnp.int32)
+    hi_b = jnp.full(qhi.shape, V, jnp.int32)
+
+    def body(_, state):
+        lo_b, hi_b = state
+        mid = (lo_b + hi_b) // 2
+        midc = jnp.clip(mid, 0, V - 1)
+        less = _pair_less(shi[midc], slo[midc], qhi, qlo)
+        return jnp.where(less, mid + 1, lo_b), jnp.where(less, hi_b, mid)
+
+    lo_b, _ = jax.lax.fori_loop(0, steps, body, (lo_b, hi_b))
+    return lo_b
+
+
+def _neighbor_lookup(shi, slo, sorted_idx, qhi, qlo):
+    """(hi, lo) query keys → voxel index in the original table (or -1)."""
+    V = shi.shape[0]
+    pos = _lower_bound_pair(shi, slo, qhi, qlo)
+    posc = jnp.clip(pos, 0, V - 1)
+    hit = (pos < V) & (shi[posc] == qhi) & (slo[posc] == qlo)
+    return jnp.where(hit, sorted_idx[posc], -1)
+
+
+def _sorted_key_table(coords: jnp.ndarray, mask: jnp.ndarray):
+    """Sorted (hi, lo) keys + original-index table for lookups."""
+    hi, lo = _masked_keys(coords, mask)
+    order = _lex_argsort(hi, lo)
+    return hi[order], lo[order], order.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("max_voxels",))
@@ -48,12 +109,12 @@ def voxelize(
         point_mask = jnp.ones((N,), bool)
     vox = jnp.floor(points[:, :3] / voxel_size).astype(jnp.int32)
     vox = vox - jnp.min(jnp.where(point_mask[:, None], vox, 2**30), axis=0)
-    key = jnp.where(point_mask, coords_key(vox), _KEY_MAX)
-    order = jnp.argsort(key)
-    sorted_key = key[order]
+    hi, lo = _masked_keys(vox, point_mask)
+    order = _lex_argsort(hi, lo)
+    shi, slo = hi[order], lo[order]
     first = jnp.concatenate(
-        [jnp.ones(1, bool), sorted_key[1:] != sorted_key[:-1]]
-    ) & (sorted_key < _KEY_MAX)
+        [jnp.ones(1, bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]
+    ) & (shi < _KEY_MAX)
     slot = jnp.cumsum(first) - 1  # voxel slot per sorted point
     V = jnp.sum(first)
     # voxel table
@@ -72,14 +133,6 @@ def voxelize(
     return coords_out, src_out, vmask, inv
 
 
-def _neighbor_lookup(sorted_keys, sorted_idx, query_keys):
-    """Binary-search lookup: query key → voxel index (or -1)."""
-    pos = jnp.searchsorted(sorted_keys, query_keys)
-    pos = jnp.clip(pos, 0, sorted_keys.shape[0] - 1)
-    hit = sorted_keys[pos] == query_keys
-    return jnp.where(hit, sorted_idx[pos], -1)
-
-
 @partial(jax.jit, static_argnames=("kernel_size",))
 def submanifold_conv3d(
     features: jnp.ndarray,
@@ -94,10 +147,7 @@ def submanifold_conv3d(
     ``features`` (V, Cin); ``coords`` (V, 3); ``kernel`` (k³, Cin, Cout).
     """
     V = features.shape[0]
-    keys = jnp.where(voxel_mask, coords_key(coords), _KEY_MAX)
-    order = jnp.argsort(keys)
-    sorted_keys = keys[order]
-    sorted_idx = order.astype(jnp.int32)
+    shi, slo, sidx = _sorted_key_table(coords, voxel_mask)
 
     k = kernel_size
     r = k // 2
@@ -109,9 +159,10 @@ def submanifold_conv3d(
 
     def tap(carry, i):
         off = offs[i]
-        qkeys = coords_key(coords + off[None])
-        qkeys = jnp.where(voxel_mask, qkeys, _KEY_MAX - 1)
-        nbr = _neighbor_lookup(sorted_keys, sorted_idx, qkeys)  # (V,)
+        qhi, qlo = coords_key(coords + off[None])
+        qhi = jnp.where(voxel_mask, qhi, _KEY_MAX - 1)
+        qlo = jnp.where(voxel_mask, qlo, _KEY_MAX - 1)
+        nbr = _neighbor_lookup(shi, slo, sidx, qhi, qlo)  # (V,)
         valid = nbr >= 0
         gathered = feats_masked[jnp.clip(nbr, 0)] * valid[:, None]
         return carry + jnp.dot(
@@ -141,12 +192,12 @@ def sparse_downsample2(
     """
     V = features.shape[0]
     parent = coords // 2
-    pkey = jnp.where(voxel_mask, coords_key(parent), _KEY_MAX)
-    order = jnp.argsort(pkey)
-    skey = pkey[order]
-    first = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]]) & (
-        skey < _KEY_MAX
-    )
+    phi, plo = _masked_keys(parent, voxel_mask)
+    order = _lex_argsort(phi, plo)
+    shi_p, slo_p = phi[order], plo[order]
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), (shi_p[1:] != shi_p[:-1]) | (slo_p[1:] != slo_p[:-1])]
+    ) & (shi_p < _KEY_MAX)
     slot = jnp.cumsum(first) - 1
     n_out = jnp.sum(first)
     out_mask = jnp.arange(max_voxels) < n_out
@@ -155,10 +206,7 @@ def sparse_downsample2(
     out_coords = out_coords.at[write].set(parent[order], mode="drop")
 
     # child lookup by key
-    ckeys = jnp.where(voxel_mask, coords_key(coords), _KEY_MAX)
-    corder = jnp.argsort(ckeys)
-    csorted = ckeys[corder]
-    cidx = corder.astype(jnp.int32)
+    chi, clo, cidx = _sorted_key_table(coords, voxel_mask)
 
     feats_masked = jnp.where(voxel_mask[:, None], features, 0.0)
     offs = jnp.stack(
@@ -167,8 +215,10 @@ def sparse_downsample2(
 
     def tap(carry, i):
         child = out_coords * 2 + offs[i][None]
-        qk = jnp.where(out_mask, coords_key(child), _KEY_MAX - 1)
-        nbr = _neighbor_lookup(csorted, cidx, qk)
+        qhi, qlo = coords_key(child)
+        qhi = jnp.where(out_mask, qhi, _KEY_MAX - 1)
+        qlo = jnp.where(out_mask, qlo, _KEY_MAX - 1)
+        nbr = _neighbor_lookup(chi, clo, cidx, qhi, qlo)
         valid = nbr >= 0
         gathered = feats_masked[jnp.clip(nbr, 0)] * valid[:, None]
         return carry + jnp.dot(
@@ -199,7 +249,7 @@ def voxelize_mean(
     if point_mask is None:
         point_mask = jnp.ones((N,), bool)
     p = points[:, :3] / voxel_size
-    # offset so all voxel coords are non-negative (int32 key packing)
+    # offset so all voxel coords are non-negative (key packing)
     pmin = jnp.floor(jnp.min(jnp.where(point_mask[:, None], p, jnp.inf), axis=0))
     p = p - pmin
     coords, _, vmask, inv = voxelize(
@@ -232,10 +282,9 @@ def point_to_voxel_mean(
     V = vox_coords.shape[0]
     s = float(2**level)
     pcoord = jnp.floor(pts_vox / s).astype(jnp.int32)
-    keys = jnp.where(vox_mask, coords_key(vox_coords), _KEY_MAX)
-    order = jnp.argsort(keys)
-    slot = _neighbor_lookup(keys[order], order.astype(jnp.int32),
-                            jnp.where(point_mask, coords_key(pcoord), _KEY_MAX - 1))
+    shi, slo, sidx = _sorted_key_table(vox_coords, vox_mask)
+    qhi, qlo = _masked_keys(pcoord, point_mask, sentinel=_KEY_MAX - 1)
+    slot = _neighbor_lookup(shi, slo, sidx, qhi, qlo)
     ok = (slot >= 0) & point_mask
     idx = jnp.where(ok, slot, V)
     feats_m = jnp.where(ok[:, None], pt_feats, 0.0)
@@ -267,17 +316,15 @@ def voxel_to_point_trilinear(
     frac = p - p0
     p0 = p0.astype(jnp.int32)
 
-    keys = jnp.where(vox_mask, coords_key(vox_coords), _KEY_MAX)
-    order = jnp.argsort(keys)
-    skeys, sidx = keys[order], order.astype(jnp.int32)
+    shi, slo, sidx = _sorted_key_table(vox_coords, vox_mask)
     feats_m = jnp.where(vox_mask[:, None], vox_feats, 0.0)
 
     out = jnp.zeros((pts_vox.shape[0], vox_feats.shape[-1]), vox_feats.dtype)
     for i in range(8):
         off = jnp.array([(i >> 2) & 1, (i >> 1) & 1, i & 1], jnp.int32)
         w = jnp.prod(jnp.where(off[None] == 1, frac, 1.0 - frac), axis=-1)
-        qk = jnp.where(point_mask, coords_key(p0 + off[None]), _KEY_MAX - 1)
-        nbr = _neighbor_lookup(skeys, sidx, qk)
+        qhi, qlo = _masked_keys(p0 + off[None], point_mask, sentinel=_KEY_MAX - 1)
+        nbr = _neighbor_lookup(shi, slo, sidx, qhi, qlo)
         hit = nbr >= 0
         out = out + feats_m[jnp.clip(nbr, 0)] * (w * hit)[:, None]
     return jnp.where(point_mask[:, None], out, 0.0)
@@ -298,15 +345,12 @@ def sparse_upsample2(
     Each fine site at ``c`` reads its parent ``c // 2`` with the kernel tap
     selected by ``c % 2``.  ``kernel`` (8, Cin, Cout).
     """
-    ckeys = jnp.where(coarse_mask, coords_key(coords_coarse), _KEY_MAX)
-    corder = jnp.argsort(ckeys)
-    csorted = ckeys[corder]
-    cidx = corder.astype(jnp.int32)
+    chi, clo, cidx = _sorted_key_table(coords_coarse, coarse_mask)
     feats_masked = jnp.where(coarse_mask[:, None], features, 0.0)
 
     parent = coords_fine // 2
-    qk = jnp.where(fine_mask, coords_key(parent), _KEY_MAX - 1)
-    nbr = _neighbor_lookup(csorted, cidx, qk)
+    qhi, qlo = _masked_keys(parent, fine_mask, sentinel=_KEY_MAX - 1)
+    nbr = _neighbor_lookup(chi, clo, cidx, qhi, qlo)
     valid = (nbr >= 0) & fine_mask
     gathered = feats_masked[jnp.clip(nbr, 0)] * valid[:, None]
 

@@ -141,3 +141,65 @@ def test_sparse_upsample_inverts_geometry():
     np.testing.assert_allclose(out[0], [1, 2]); np.testing.assert_allclose(out[1], [1, 2])
     np.testing.assert_allclose(out[2], [3, 4]); np.testing.assert_allclose(out[3], [3, 4])
     np.testing.assert_allclose(out[4:], 0)
+
+
+def test_wide_grid_no_key_collisions():
+    """nuScenes eval extents (±80 m at 0.05 m voxels = 3,200 cells/axis,
+    cf. ``lidargen/metrics/models/minkowskinet/model.py:13-141``) exceed the
+    old 1,024-cells/axis int32 packing; the (hi, lo) pair keys must keep
+    distant voxels distinct.  The listed coordinate pairs collide under the
+    legacy ``(x*1024 + y)*1024 + z`` packing."""
+    coords = np.array(
+        [
+            [0, 0, 1029], [0, 1, 5],          # old key both = 1029
+            [0, 0, 2048], [0, 2, 0],          # old key both = 2048
+            [1, 0, 0], [0, 1024, 0],          # old key both = 1048576
+            [3199, 3199, 3199], [0, 0, 0],    # full-extent corners
+        ],
+        np.int32,
+    )
+    pts = (coords.astype(np.float32) + 0.5) * 0.05
+    vox_coords, src, vmask, inv = voxelize(
+        jnp.asarray(pts), 0.05, max_voxels=16
+    )
+    assert int(vmask.sum()) == len(coords)  # all distinct — no collisions
+    got = np.asarray(vox_coords)[np.asarray(vmask)]
+    assert {tuple(c) for c in got} == {tuple(c) for c in coords}
+
+
+def test_submanifold_conv_wide_grid_matches_dense():
+    """Neighbor lookup correctness at >1024 cells/axis: compare a 3³ sparse
+    conv against a dense conv on a small cluster placed at far coordinates."""
+    rng = np.random.RandomState(7)
+    base = np.array([3000, 2900, 1500], np.int32)
+    local = np.argwhere(np.ones((3, 4, 3), bool)).astype(np.int32)
+    keep = rng.rand(len(local)) < 0.7
+    local = local[keep]
+    coords = base[None] + local
+    V = 64
+    nvox = len(coords)
+    coords_pad = np.zeros((V, 3), np.int32)
+    coords_pad[:nvox] = coords
+    mask = np.zeros((V,), bool)
+    mask[:nvox] = True
+    feats = np.zeros((V, 2), np.float32)
+    feats[:nvox] = rng.randn(nvox, 2).astype(np.float32)
+    kernel = rng.randn(27, 2, 3).astype(np.float32) * 0.2
+
+    out = np.asarray(
+        submanifold_conv3d(
+            jnp.asarray(feats), jnp.asarray(coords_pad), jnp.asarray(mask),
+            jnp.asarray(kernel),
+        )
+    )
+
+    # dense check over the local 3×4×3 cluster
+    table = {tuple(c): i for i, c in enumerate(coords)}
+    offs = np.argwhere(np.ones((3, 3, 3), bool)) - 1
+    for i, c in enumerate(coords):
+        want = np.zeros(3, np.float32)
+        for t, off in enumerate(offs):
+            j = table.get(tuple(c + off))
+            if j is not None:
+                want += feats[j] @ kernel[t]
+        np.testing.assert_allclose(out[i], want, rtol=1e-5, atol=1e-5)
