@@ -99,6 +99,9 @@ class DataConfig:
     delete_ground: bool = False
     with_object: bool = False
     num_samples: int = 1024  # object branch point count
+    # scene-graph CLIP feature cache root (reference layout:
+    # ``nuscenes_dataset.py:28`` — '../data/clips/nuscenes')
+    clip_cache_dir: str | None = "../data/clips/nuscenes"
 
 
 @dataclass

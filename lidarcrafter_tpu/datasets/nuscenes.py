@@ -56,6 +56,19 @@ class NuscDataset:
                 and di["prev_info"]["token"] in self.data_dict
             ]
 
+        if self.task == "layout_generation":
+            # cf. ``nuscenes_dataset.py:24-31,488-492``: the layout task runs
+            # the scene-graph assigner per sample.  CLIP features come from
+            # the reference-format cache under ``clip_cache_dir`` or a
+            # ``text_encode_fn`` plugged in afterwards (e.g. the native CLIP
+            # tower, ``models/clip_text.py``).
+            from .scene_graph import SceneGraphAssigner
+
+            self.scene_graph_assigner = SceneGraphAssigner(
+                output_path=getattr(data_cfg, "clip_cache_dir", None),
+                split=self.split,
+            )
+
     # ------------------------------------------------------------------ io
 
     def _load_infos(self, data_cfg) -> list[dict]:
@@ -264,7 +277,12 @@ class NuscDataset:
             gt_fut_states=info["scene_graph"]["keep_agent_fut_states"],
         )
         out.update(self.project(points))
-        return self.pre_process(out)
+        out = self.pre_process(out)
+        if self.task == "layout_generation" and hasattr(self, "scene_graph_assigner"):
+            # merged flat so ``collate_scene_graphs`` sees encoder/decoder/
+            # manipulate directly (cf. ``nuscenes_dataset.py:488-492``)
+            out.update(self.scene_graph_assigner.assign_item(idx, out))
+        return out
 
     # -------------------------------------------------------------- collate
 

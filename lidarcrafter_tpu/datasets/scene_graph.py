@@ -269,6 +269,14 @@ class SceneGraphAssigner:
                 new_pred = self.rng.randint(0, 9)
                 if new_pred == p:
                     continue
+            # rewrite the relationship text + mark the edit so collate can
+            # re-encode it (cf. ``scene_graph.py:349-350``,
+            # ``nuscenes_dataset.py:571-576``)
+            if "words" in graph and p < len(self.relationships):
+                graph["words"][idx] = graph["words"][idx].replace(
+                    self.relationships[p], self.relationships[new_pred]
+                )
+            graph["changed_id"] = idx
             graph["triples"][idx][1] = new_pred
             return idx, (s, p, o), True
         return -1, None, False
@@ -320,10 +328,16 @@ class SceneGraphAssigner:
         return out
 
 
-def collate_scene_graphs(batch: list[dict]) -> dict:
+def collate_scene_graphs(batch: list[dict], text_encode_fn: Callable | None = None) -> dict:
     """Flat global-node collation; cf. ``custom_collate_fn``
     (``nuscenes_dataset.py:508-631``).  Returns numpy arrays keyed for
     :class:`~lidarcrafter_tpu.diffusion.layout.CondLayoutDiffusion`.
+
+    ``text_encode_fn`` re-encodes edited relationship text for manipulated
+    edges (``changed_id``), matching the reference's collate-time CLIP call
+    (``nuscenes_dataset.py:571-576``) — pass the native tower's encode_fn
+    (``models/clip_text.load_clip_text_encoder``).  Without it the edited
+    edge keeps its pre-edit feature.
     """
     out = {"missing_nodes": [], "manipulated_subs": [], "manipulated_objs": []}
     global_node = 0
@@ -349,6 +363,12 @@ def collate_scene_graphs(batch: list[dict]) -> dict:
             objs.extend(g["objs"])
             boxes.extend(g["boxes"])
             text_feats.extend(g["text_feats"])
+            if text_encode_fn is not None and "changed_id" in g:
+                cid = g["changed_id"]
+                g = dict(g, rel_feats=list(g["rel_feats"]))
+                g["rel_feats"][cid] = np.squeeze(
+                    np.asarray(text_encode_fn([g["words"][cid]]))
+                )
             rel_feats.extend(g["rel_feats"])
             for s, p, o in g["triples"]:
                 triples.append([s + offset, p, o + offset])

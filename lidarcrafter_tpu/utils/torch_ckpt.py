@@ -551,3 +551,99 @@ def convert_scene_graph(sd: Mapping) -> dict:
     if stats:
         out["batch_stats"] = stats
     return out
+
+
+# ------------------------------------------------------------ CLIP text tower
+
+
+def convert_clip_text(sd: Mapping) -> dict:
+    """OpenAI CLIP state_dict (full model or text-only) → flax params for
+    :class:`~lidarcrafter_tpu.models.clip_text.CLIPTextEncoder`.
+
+    Handles the torch ``nn.MultiheadAttention`` fused ``in_proj_weight`` and
+    ``text_projection`` (stored output-last, used as ``pooled @ proj`` — no
+    transpose).  cf. the reference's CLIP usage at
+    ``lidargen/dataset/transforms_3d/scene_graph/scene_graph.py:146-164``.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = {
+        "token_embedding": {"embedding": sd["token_embedding.weight"]},
+        "positional_embedding": sd["positional_embedding"],
+        "ln_final": {"scale": sd["ln_final.weight"], "bias": sd["ln_final.bias"]},
+        "text_projection": sd["text_projection"],
+    }
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        p = f"transformer.resblocks.{i}"
+        params[f"resblock{i}"] = {
+            "ln_1": {"scale": sd[f"{p}.ln_1.weight"], "bias": sd[f"{p}.ln_1.bias"]},
+            "attn_in_proj": {"kernel": _linear(sd[f"{p}.attn.in_proj_weight"]),
+                             "bias": sd[f"{p}.attn.in_proj_bias"]},
+            "attn_out_proj": _lin(sd, f"{p}.attn.out_proj"),
+            "ln_2": {"scale": sd[f"{p}.ln_2.weight"], "bias": sd[f"{p}.ln_2.bias"]},
+            "mlp_c_fc": _lin(sd, f"{p}.mlp.c_fc"),
+            "mlp_c_proj": _lin(sd, f"{p}.mlp.c_proj"),
+        }
+        i += 1
+    return {"params": params}
+
+
+# ------------------------------------------------------------------- GLENet
+
+
+def convert_glenet(sd: Mapping) -> dict:
+    """Reference ``Generator`` state_dict (``lidargen/metrics/models/glenet/
+    model.py:151``) → flax variables for
+    :class:`~lidarcrafter_tpu.metrics.models.glenet.GLENet` — so the RGF
+    metric runs the reference's released uncertainty checkpoints.
+
+    Conv1d(k=1) point layers become Dense; BatchNorm1d splits into
+    params(scale/bias) + batch_stats(mean/var)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def dense_from_conv1(prefix):
+        w = sd[f"{prefix}.weight"]
+        out = {"kernel": w[:, :, 0].T}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = sd[f"{prefix}.bias"]
+        return out
+
+    def bn(prefix):
+        return (
+            {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]},
+            {"mean": sd[f"{prefix}.running_mean"],
+             "var": sd[f"{prefix}.running_var"]},
+        )
+
+    def pointnet_feat(prefix):
+        params, stats = {}, {}
+        for i in (1, 2, 3):
+            params[f"conv{i}"] = dense_from_conv1(f"{prefix}.conv{i}")
+            params[f"bn{i}"], stats[f"bn{i}"] = bn(f"{prefix}.bn{i}")
+        params["seq0"] = _lin(sd, f"{prefix}.output_sequential.0")
+        params["seq1"] = _lin(sd, f"{prefix}.output_sequential.2")
+        return params, stats
+
+    params, stats = {}, {}
+    for enc in ("x_encoder", "xy_encoder"):
+        fe_p, fe_s = pointnet_feat(f"{enc}.fe")
+        params[enc] = {
+            "fe": fe_p,
+            "fc1": _lin(sd, f"{enc}.fc1"),
+            "fc2": _lin(sd, f"{enc}.fc2"),
+        }
+        stats[enc] = {"fe": fe_s}
+
+    fe_p, fe_s = pointnet_feat("obj_encoder.fe")
+    obj = {"fe": fe_p, "fc1": _lin(sd, "obj_encoder.fc1"),
+           "fc2": _lin(sd, "obj_encoder.fc2")}
+    obj_stats = {"fe": fe_s}
+    for i in (1, 2):
+        obj[f"bn{i}"], obj_stats[f"bn{i}"] = bn(f"obj_encoder.bn{i}")
+    for head in ("fc_s", "fc_ce", "fc_hr", "fc_dir"):
+        obj[f"{head}1"] = _lin(sd, f"obj_encoder.{head}1")
+        # the *2 head Linears carry no bias (model.py:101-114)
+        obj[f"{head}2"] = {"kernel": _linear(sd[f"obj_encoder.{head}2.weight"])}
+    params["obj_encoder"] = obj
+    stats["obj_encoder"] = obj_stats
+    return {"params": params, "batch_stats": stats}
