@@ -206,3 +206,23 @@ def mc_uncertainty(apply_fn, batch_dict, rng, num_passes: int = 30):
         preds.append(apply_fn(batch_dict, jax.random.fold_in(rng, i)))
     preds = jnp.stack(preds)  # (P, B, 9)
     return jnp.var(preds[..., :7], axis=0), jnp.mean(preds, axis=0)
+
+
+def load_glenet_from_torch(ckpt_path, **model_kwargs):
+    """Build (model, variables) from a reference GLENet torch checkpoint
+    (``../pretrained_models/evaluation/nuscenes/glenet/*.pth``,
+    ``fg_object.py:54``) so RGF runs the released uncertainty weights.
+    Accepts plain state_dicts and pcdet-style {'model_state': ...} /
+    {'net': ...} wrappers."""
+    import torch
+
+    from ...utils.torch_ckpt import convert_glenet
+
+    obj = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    for key in ("model_state", "net", "state_dict"):
+        if isinstance(obj, dict) and key in obj:
+            obj = obj[key]
+            break
+    sd = {k: v.numpy() for k, v in obj.items() if "num_batches_tracked" not in k}
+    model = GLENet(**model_kwargs)
+    return model, convert_glenet(sd)
