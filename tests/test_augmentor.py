@@ -28,13 +28,17 @@ def _load_ref_utils():
     sys.modules["refaug"] = pkg
     src = (REF / "lidargen/dataset/augmentor/augmentor_utils.py").read_text()
     src = src.replace("from ...utils import common_utils", "import ref_common_utils as common_utils")
+    # box_utils pulls the CUDA roiaware extension; the parity targets
+    # (flip/rotation/scaling) never call it
+    src = src.replace("from ...utils import box_utils", "box_utils = None")
+    # common_utils imports SharedArray (GT-database mmap helper) at module
+    # scope; the parity targets (flip/rotation/scaling) never touch it — stub
+    # it so the parity assertions actually execute.
+    sys.modules.setdefault("SharedArray", types.ModuleType("SharedArray"))
     cu_spec = importlib.util.spec_from_file_location("ref_common_utils", spec_common)
     cu = importlib.util.module_from_spec(cu_spec)
     sys.modules["ref_common_utils"] = cu
-    try:
-        cu_spec.loader.exec_module(cu)
-    except Exception:
-        return None  # heavy deps in common_utils → skip parity
+    cu_spec.loader.exec_module(cu)
     mod = types.ModuleType("ref_augmentor_utils")
     exec(compile(src, "augmentor_utils.py", "exec"), mod.__dict__)
     return mod
@@ -52,10 +56,6 @@ def _scene(seed=0):
 
 
 def test_flip_parity():
-    if ref_aug is None:
-        import pytest
-
-        pytest.skip("reference common_utils not loadable")
     for fn_ours, fn_ref in (
         (random_flip_along_x, ref_aug.random_flip_along_x),
         (random_flip_along_y, ref_aug.random_flip_along_y),
@@ -68,10 +68,6 @@ def test_flip_parity():
 
 
 def test_rotation_scaling_parity():
-    if ref_aug is None:
-        import pytest
-
-        pytest.skip("reference common_utils not loadable")
     b, p = _scene(1)
     gb, gp, _ = global_rotation(b.copy(), p.copy(), [0.3, 0.3], noise_rotation=0.3)
     rb, rp = ref_aug.global_rotation(b.copy(), p.copy(), [0.3, 0.3], noise_rotation=0.3)
