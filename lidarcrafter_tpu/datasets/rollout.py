@@ -244,3 +244,42 @@ def delete_fg_points_mask(
     """Mask (not gather) variant of ``pipe_related.delete_fg_points`` (:282-288)."""
     member = points_in_boxes(points[:, :3], boxes) & box_mask[:, None]
     return point_mask & (jnp.sum(member, axis=0) == 0)
+
+
+@partial(jax.jit, static_argnames=("H", "W"))
+def refine_points_via_condition_mask(
+    points: jnp.ndarray,
+    point_mask: jnp.ndarray,
+    boxes_with_class: jnp.ndarray,
+    box_mask: jnp.ndarray,
+    H: int = 32,
+    W: int = 1024,
+    min_depth: float = 1.45,
+    max_depth: float = 80.0,
+    fov_up: float = 10.0,
+    fov_down: float = -30.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Hidden-surface + box-interior removal through the range image; cf.
+    ``pipe_related.refine_next_frame_points`` (:272-281): project the warped
+    cloud, zero every pixel covered by a projected box (condition mask > 0),
+    and re-extract one point per surviving pixel (norm > 1e-2).
+
+    ``boxes_with_class``: (K, 8) [x y z l w h yaw class]; returns a fixed
+    (H·W, 4) cloud + validity mask.
+    """
+    from ..ops.projection import convert_boxes_to_2d, points_to_range_image
+
+    img = points_to_range_image(
+        points, point_mask, H=H, W=W, min_depth=min_depth, max_depth=max_depth,
+        fov_up=fov_up, fov_down=fov_down,
+    )
+    img = img * img[..., 5:6]  # zero invalid pixels (CustomDataset semantics)
+    _, condition_mask, _ = convert_boxes_to_2d(
+        boxes_with_class, box_mask, H=H, W=W, fov_up=fov_up, fov_down=fov_down
+    )
+    keep = (condition_mask[..., 0] <= 0)[..., None]
+    xyz = img[..., :3] * keep
+    inten = img[..., 3:4] * keep
+    out = jnp.concatenate([xyz, inten], axis=-1).reshape(-1, 4)
+    out_mask = jnp.linalg.norm(out[:, :3], axis=1) > 1e-2
+    return out, out_mask

@@ -174,8 +174,18 @@ class TemporalRollout:
             # warp background into the next frame
             bg_next = R.transform_points_homogeneous(pts, jnp.asarray(Ts[t_id]))
             next_boxes = jnp.asarray(fut_boxes[:, t_id], jnp.float32)
-            # remove anything inside the next-frame boxes from the warped bg
-            bg_next_mask = R.delete_fg_points_mask(bg_next, bg_mask, next_boxes, box_mask)
+            next_boxes_cls = jnp.concatenate(
+                [next_boxes, jnp.asarray(box_names_classes, jnp.float32)[:, None]],
+                axis=1,
+            )
+            # hidden-surface + next-frame-box-interior removal through the
+            # range image (pipe_related.refine_next_frame_points semantics)
+            H, W = self.lidar_utils.resolution
+            bg_next, bg_next_mask = R.refine_points_via_condition_mask(
+                bg_next, bg_mask, next_boxes_cls, box_mask, H=H, W=W,
+                min_depth=self.lidar_utils.min_depth,
+                max_depth=self.lidar_utils.max_depth,
+            )
             # replay foreground at the future boxes
             fg_pts, fg_mask = R.replay_objects(obj_pts, obj_mask, next_boxes, box_mask)
             all_pts = jnp.concatenate([bg_next, fg_pts.reshape(-1, 4)], axis=0)
@@ -188,12 +198,8 @@ class TemporalRollout:
             cond = jnp.concatenate([depth, refl], axis=-1)[None]
             autoreg_cond = preprocess_autoregressive_cond(cond, self.lidar_utils)
 
-            boxes_cls = jnp.concatenate(
-                [next_boxes, jnp.asarray(box_names_classes, jnp.float32)[:, None]],
-                axis=1,
-            )
             layout_batch = dict(first_frame_batch)
-            layout_batch["concat_cond"] = self._frame_condition(boxes_cls, box_mask)
+            layout_batch["concat_cond"] = self._frame_condition(next_boxes_cls, box_mask)
 
             rng, rt = jax.random.split(rng)
             sample = self.generate_next_frame(autoreg_cond, layout_batch, rt)

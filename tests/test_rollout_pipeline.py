@@ -86,3 +86,181 @@ def test_temporal_rollout_smoke():
     for f in frames:
         assert f.shape == (1, H, W, 2)
         assert np.isfinite(f).all()
+
+
+# --------------------------------------------------------- composed parity
+
+
+def _load_ref_pipe_related():
+    """Execute the reference ``pipe_related`` module itself (never copied):
+    heavy imports (CUDA roiaware, PTv3, full dataset stack) are swapped for
+    shims that are either executed reference functions or brute-force mirrors
+    already parity-tested elsewhere."""
+    import sys
+    import types
+
+    from tests.reference_loader import REF, _load
+
+    ref_common = _load(
+        REF / "lidargen/dataset/transforms_3d/common.py", "ref_common_pipe"
+    )
+    _load(REF / "lidargen/dataset/utils.py", "ref_ds_utils_pipe")
+    _load(REF / "tools/vis_tools/utils/common.py", "ref_vis_common_pipe")
+
+    # roiaware points_in_boxes_cpu → brute-force numpy mirror of
+    # check_pt_in_box3d (roiaware_pool3d_kernel.cu:16-36)
+    import torch as _torch
+
+    def _pib_cpu(points_t, boxes_t):
+        pts = points_t.numpy()
+        boxes = boxes_t.numpy()
+        out = np.zeros((len(boxes), len(pts)), np.int32)
+        for i, b in enumerate(boxes):
+            cx, cy, cz, dx, dy, dz, yaw = b[:7]
+            local = pts[:, :3] - np.array([cx, cy, cz])
+            c, s = np.cos(-yaw), np.sin(-yaw)
+            lx = local[:, 0] * c - local[:, 1] * s
+            ly = local[:, 0] * s + local[:, 1] * c
+            out[i] = (
+                (np.abs(lx) <= dx / 2)
+                & (np.abs(ly) <= dy / 2)
+                & (np.abs(local[:, 2]) <= dz / 2)
+            )
+        return _torch.from_numpy(out)
+
+    roi_shim = types.ModuleType("ref_roiaware_shim")
+    roi_shim.points_in_boxes_cpu = _pib_cpu
+    sys.modules["ref_roiaware_shim"] = roi_shim
+
+    # CustomDataset shim: reproduces exactly the projection + condition-mask
+    # path the reference CustomDataset runs for refine_next_frame_points
+    # (custom_dataset.py:57-84 + nuscenes_dataset.py:385-398), composed from
+    # EXECUTED reference functions.
+    CLASSES8 = (
+        "car", "truck", "construction_vehicle", "bus", "trailer",
+        "motorcycle", "bicycle", "pedestrian",
+    )
+
+    class _CustomDatasetShim:
+        def __init__(self, custom_box_infos, cfg=None):
+            self.data = custom_box_infos
+
+        def __getitem__(self, idx):
+            d = dict(self.data[idx])
+            xyzrdm = ref_common.load_points_as_images(
+                points=d["points"], scan_unfolding=False, H=32, W=1024,
+                min_depth=1.45, max_depth=80.0, fov_up=10.0, fov_down=-30.0,
+            ).transpose(2, 0, 1)
+            xyzrdm *= xyzrdm[[5]]
+            d.update(
+                xyz=xyzrdm[:3], reflectance=xyzrdm[[3]] / 255,
+                depth=xyzrdm[[4]], mask=xyzrdm[[5]],
+            )
+            class_names = ["ego"] + list(CLASSES8)
+            gt_classes = np.array(
+                [class_names.index(n) for n in d["gt_names"]], np.int32
+            )
+            gt_boxes = np.concatenate(
+                [d["gt_boxes"], gt_classes.reshape(-1, 1).astype(np.float32)],
+                axis=1,
+            )
+            _, condition_mask, _ = ref_common.convert_boxes_to_2d(
+                boxes_3d=gt_boxes, H=32, W=1024, min_depth=1.45,
+                max_depth=80.0, fov_up=10.0, fov_down=-30.0,
+            )
+            d["condition_mask"] = condition_mask
+            return d
+
+    shim = types.ModuleType("ref_custom_shim")
+    shim.CustomDataset = _CustomDatasetShim
+    shim.CustomNuscObjectDataset = _CustomDatasetShim
+    sys.modules["ref_custom_shim"] = shim
+
+    src = (REF / "tools/vis_tools/utils/pipe_related.py").read_text()
+    src = src.replace(
+        "from lidargen.dataset import utils", "import ref_ds_utils_pipe as utils"
+    )
+    src = src.replace(
+        "from lidargen.ops.roiaware_pool3d import roiaware_pool3d_utils",
+        "import ref_roiaware_shim as roiaware_pool3d_utils",
+    )
+    src = src.replace(
+        "from lidargen.dataset.custom_dataset import CustomDataset, CustomNuscObjectDataset",
+        "from ref_custom_shim import CustomDataset, CustomNuscObjectDataset",
+    )
+    src = src.replace(
+        "from lidargen.metrics.models.ptv3.model import PTv3", "PTv3 = None"
+    )
+    src = src.replace("from . import common", "import ref_vis_common_pipe as common")
+    mod = types.ModuleType("ref_pipe_related")
+    exec(compile(src, "pipe_related.py", "exec"), mod.__dict__)
+    return mod
+
+
+def test_get_next_frame_points_composition_parity():
+    """Full composed rollout step — warp bg by ego transform → hidden-surface
+    + box-interior refine through the range image → fg replay at future boxes
+    — vs the EXECUTED reference ``pipe_related.get_next_frame_points``
+    (:243-270) on identical inputs."""
+    from lidarcrafter_tpu.datasets import rollout as R
+
+    ref_pipe = _load_ref_pipe_related()
+
+    r = np.random.RandomState(7)
+    N, K, P = 4000, 3, 64
+    # background ring of points 5-60 m out
+    ang = r.rand(N) * 2 * np.pi
+    rad = 5 + r.rand(N) * 55
+    bg = np.stack(
+        [rad * np.cos(ang), rad * np.sin(ang),
+         r.randn(N) * 1.5, r.rand(N) * 200],
+        axis=1,
+    ).astype(np.float32)
+
+    fut_boxes = np.array(
+        [[12.0, 2.0, 0.0, 4.5, 2.0, 1.8, 0.4],
+         [-20.0, -8.0, 0.2, 8.0, 3.0, 3.2, -1.1],
+         [6.0, -15.0, -0.3, 0.8, 0.8, 1.8, 0.0]],
+        np.float32,
+    )
+    names = ["ego", "car", "truck", "pedestrian"]
+    align_pts = [(r.randn(P, 3) * 0.5).astype(np.float32) for _ in range(K)]
+    inten = [(r.rand(P) * 120).astype(np.float32) for _ in range(K)]
+
+    th = 0.05
+    c, s = np.cos(th), np.sin(th)
+    Ts = np.array(
+        [[c, -s, 0, 0.8], [s, c, 0, -0.3], [0, 0, 1, 0.02], [0, 0, 0, 1]],
+        np.float32,
+    )
+
+    want = ref_pipe.get_next_frame_points(
+        bg.copy(), align_pts, inten, fut_boxes.copy(), list(names), Ts
+    )
+
+    # ------- ours: transform → refine (condition mask) → replay → concat
+    bg_next = R.transform_points_homogeneous(jnp.asarray(bg), jnp.asarray(Ts))
+    classes = np.array([0, 1, 2, 8], np.float32)  # ['ego']+CLASSES8 indices
+    boxes_cls = np.concatenate(
+        [np.concatenate([np.zeros((1, 7), np.float32), fut_boxes]),
+         classes[:, None]],
+        axis=1,
+    )
+    ref_bg, ref_bg_mask = R.refine_points_via_condition_mask(
+        bg_next, jnp.ones((N,), bool), jnp.asarray(boxes_cls),
+        jnp.ones((K + 1,), bool), H=32, W=1024,
+    )
+    obj4 = jnp.asarray(
+        np.stack([np.concatenate([p, i[:, None]], 1) for p, i in zip(align_pts, inten)])
+    )
+    fg, fg_mask = R.replay_objects(
+        obj4, jnp.ones((K, P), bool), jnp.asarray(fut_boxes), jnp.ones((K,), bool)
+    )
+    got = np.concatenate(
+        [np.asarray(ref_bg)[np.asarray(ref_bg_mask)],
+         np.asarray(fg).reshape(-1, 4)],
+        axis=0,
+    )
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
