@@ -1,8 +1,13 @@
 """Benchmark: generated 32×1024 frames/sec/chip at 50 DDIM steps (flagship model).
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
-Baseline: the driver's north-star target of 10 frames/s/chip on TPU v5e
-(BASELINE.json; the reference publishes no numbers, BASELINE.md).
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+"extra": {...}}.  Baseline: the driver's north-star target of 10 frames/s/chip
+on TPU v5e (BASELINE.json; the reference publishes no numbers, BASELINE.md).
+
+The headline metric is unconditional single-frame sampling.  ``extra`` covers
+the flagship 4D pipeline (VERDICT r1 §6): layout-conditioned sampling f/s,
+autoregressive sampling f/s, and the full 1+15-frame rollout wall-clock
+(``sample_and_save_temporal.py:284``).  Disable with BENCH_FULL=0.
 
 Inference precision defaults to bf16 (deployment-standard for diffusion
 sampling; parity tests run fp32).  Override with BENCH_DTYPE=float32.
@@ -22,9 +27,33 @@ jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
+import numpy as np
+
+DTYPE_NAME = os.environ.get("BENCH_DTYPE", "bfloat16")
+DTYPE = jnp.bfloat16 if DTYPE_NAME == "bfloat16" else jnp.float32
+NUM_STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 
 
-def main():
+def _fetch(outs):
+    # Host fetch of scalars: robust completion barrier (block_until_ready
+    # can return early through remote-device tunnels).
+    return float(sum(jnp.sum(o[..., 0:1, 0]) for o in outs))
+
+
+def _median_rate(sample_fn, rng, batch, reps, rounds):
+    _fetch([sample_fn(rng)])  # warmup / compile
+    rates = []
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        outs = [sample_fn(jax.random.fold_in(rng, r * reps + i)) for i in range(reps)]
+        _fetch(outs)
+        dt = time.perf_counter() - t0
+        rates.append(reps * batch / dt)
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
+def bench_uncond():
     from lidarcrafter_tpu.configs import get_config
     from lidarcrafter_tpu.training import build_diffusion_training
 
@@ -33,47 +62,138 @@ def main():
 
     H, W = cfg.data.resolution
     batch = int(os.environ.get("BENCH_BATCH", "8"))
-    num_steps = int(os.environ.get("BENCH_STEPS", "50"))
-    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, H, W, 2), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((batch,)))
-    if dtype == jnp.bfloat16:
-        params = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
+    if DTYPE == jnp.bfloat16:
+        params = jax.tree_util.tree_map(lambda a: a.astype(DTYPE), params)
         engine = dataclasses.replace(
             engine,
             apply_fn=lambda p, xt, t: model.apply(
-                p, xt.astype(dtype), t.astype(dtype)
+                p, xt.astype(DTYPE), t.astype(DTYPE)
             ).astype(jnp.float32),
         )
 
     def sample(rng):
         return engine.sample(
-            params, rng, batch_size=batch, num_steps=num_steps, mode="ddim"
+            params, rng, batch_size=batch, num_steps=NUM_STEPS, mode="ddim"
         )
-
-    def fetch(outs):
-        # Host fetch of scalars: robust completion barrier (block_until_ready
-        # can return early through remote-device tunnels).
-        return float(sum(jnp.sum(o[..., 0:1, 0]) for o in outs))
-
-    fetch([sample(rng)])  # warmup / compile
 
     reps = int(os.environ.get("BENCH_REPS", "4"))
     rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
-    rates = []
-    for r in range(rounds):
-        t0 = time.perf_counter()
-        outs = [sample(jax.random.fold_in(rng, r * reps + i)) for i in range(reps)]
-        fetch(outs)
-        dt = time.perf_counter() - t0
-        rates.append(reps * batch / dt)
-    rates.sort()
-    frames_per_sec = rates[len(rates) // 2]  # median over rounds
+    return _median_rate(sample, rng, batch, reps, rounds)
 
+
+def _build_cond_stack(name):
+    """Production conditional stack (layout encoder + LayoutUnetV1) with
+    random-initialized weights at the config's real topology."""
+    from lidarcrafter_tpu.configs import get_config
+    from lidarcrafter_tpu.training import build_diffusion_training
+
+    cfg = get_config(name)
+    models, engine, lidar_utils = build_diffusion_training(cfg)
+    model, cond_model = models["model"], models["cond"]
+    H, W = cfg.data.resolution
+    L = cfg.condition_model.params["layout_length"]
+    cc = cfg.condition_model.params.get("out_channels", 0)
+
+    def cond_batch(B):
+        b = {
+            "scaled_gt_boxes": jnp.zeros((B, L, 9), jnp.float32),
+            "gt_boxes_2d": jnp.zeros((B, L, 4), jnp.float32),
+            "is_valid_obj": jnp.ones((B, L), jnp.float32),
+        }
+        if cc:
+            b["concat_cond"] = jnp.zeros((B, H, W, cc - 1), jnp.float32)
+            b["autoregressive_cond"] = jnp.zeros((B, H, W, 1), jnp.float32)
+        return b
+
+    # B=1 matches the rollout's per-frame sample signature, so the layout-cond
+    # bench and every rollout frame share ONE compiled executable (compiles of
+    # this stack cost minutes through the TPU tunnel).
+    B = int(os.environ.get("BENCH_COND_BATCH", "1"))
+    batch = cond_batch(B)
+    cond_params = cond_model.init(jax.random.PRNGKey(1), batch)
+    layout = cond_model.apply(cond_params, batch)
+    cd = {"time_condition": jnp.zeros((B,)), "other_condition": layout}
+    model_params = model.init(
+        jax.random.PRNGKey(2), jnp.zeros((B, H, W, 2)), cd
+    )
+    params = {"model": model_params, "cond": cond_params}
+    if DTYPE == jnp.bfloat16:
+        params = jax.tree_util.tree_map(lambda a: a.astype(DTYPE), params)
+
+        def apply_fn(p, x, c):
+            c = jax.tree_util.tree_map(lambda a: a.astype(DTYPE), c)
+            return model.apply(p["model"], x.astype(DTYPE), c).astype(jnp.float32)
+
+        engine = dataclasses.replace(engine, apply_fn=apply_fn)
+    return cfg, engine, params, batch, B, lidar_utils
+
+
+def bench_layout_cond(name="nuscenes-auto-reg-v2"):
+    """Layout-conditioned (flagship conditional) sampling f/s."""
+    _, engine, params, batch, B, _ = _build_cond_stack(name)
+    rng = jax.random.PRNGKey(3)
+
+    def sample(rng):
+        return engine.sample(
+            params, rng, batch, batch_size=B, num_steps=NUM_STEPS, mode="ddim"
+        )
+
+    return _median_rate(sample, rng, B, reps=2, rounds=2)
+
+
+def bench_rollout(frames=15):
+    """Full 1+15-frame autoregressive rollout wall-clock, on-device pipeline
+    (cf. ``sample_and_save_temporal.py:203-335``)."""
+    from lidarcrafter_tpu.pipeline import TemporalRollout
+
+    cfg, engine, params, batch, _, lidar_utils = _build_cond_stack(
+        "nuscenes-auto-reg-v2"
+    )
+    # frame-0 generator and autoregressive generator share the stack here
+    # (both are LayoutUnetV1 topologies; box-layout-v6 differs only in cond
+    # channels) — wall-clock per frame is what we measure.
+    one = {k: v[:1] for k, v in batch.items()}
+    pipeline = TemporalRollout(
+        cond_engine=engine, cond_params=params,
+        autoreg_engine=engine, autoreg_params=params,
+        lidar_utils=lidar_utils, num_sampling_steps=NUM_STEPS,
+        sampling_mode="ddim",
+    )
+    K = 4
+    r = np.random.RandomState(0)
+    trajs = (r.rand(K + 1, 6, 2) * 0.5).astype(np.float32)
+    boxes0 = np.concatenate(
+        [r.rand(K, 2) * 30 - 15, r.rand(K, 1) * 2 - 1,
+         1 + r.rand(K, 3) * 3, r.rand(K, 1) * 3],
+        axis=1,
+    ).astype(np.float32)
+    classes = np.arange(1, K + 1, dtype=np.float32)
+
+    rng = jax.random.PRNGKey(4)
+    # warmup: 1 frame (compiles every jitted piece)
+    pipeline.rollout(one, trajs, boxes0, classes, rng, num_frames=1)
+    t0 = time.perf_counter()
+    out = pipeline.rollout(one, trajs, boxes0, classes, rng, num_frames=frames)
+    dt = time.perf_counter() - t0
+    assert len(out) == frames + 1
+    return dt
+
+
+def main():
+    frames_per_sec = bench_uncond()
     target = 10.0  # BASELINE.json north star, frames/s/chip @ 50 DDIM steps
+
+    extra = {}
+    if os.environ.get("BENCH_FULL", "1") != "0":
+        try:
+            extra["layout_cond_fps_50step_ddim"] = round(bench_layout_cond(), 3)
+            extra["rollout_16frame_wall_s_50step_ddim"] = round(bench_rollout(), 2)
+        except Exception as e:  # sub-benches must never sink the headline
+            extra["error"] = f"{type(e).__name__}: {e}"
+
     print(
         json.dumps(
             {
@@ -81,6 +201,7 @@ def main():
                 "value": round(frames_per_sec, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(frames_per_sec / target, 3),
+                "extra": extra,
             }
         )
     )
