@@ -1,0 +1,272 @@
+"""pcdet VoxelRCNN-CenterHead: faithful eval-mode port + weight ingestion.
+
+The reference's DCF metric runs an external OpenPCDet detector
+(``voxelrcnn-center`` config + checkpoint, ``tools/evaluation/
+extract_foreground_samples.py:20-25``; ``pcdet.models.build_network`` at
+``lidargen/metrics/fg_object.py:23-26``).  The detector is NOT vendored in
+the reference, so this module re-implements the pcdet module chain the
+checkpoint names encode — MeanVFE → VoxelBackBone8x (spconv) →
+HeightCompression → BaseBEVBackbone → CenterHead — on our sparse-conv
+primitives (``ops/sparse.py``), with :func:`~lidarcrafter_tpu.utils.
+torch_ckpt.convert_voxel_rcnn` mapping released pcdet state_dicts onto it.
+The VoxelRCNN RoI refinement stage rescoring proposals is not yet ported;
+detections here are the CenterHead first-stage outputs.
+
+Conventions follow pcdet: voxel coords are (z, y, x); BatchNorm eps=1e-3
+(``nn.BatchNorm1d(eps=1e-3, momentum=0.01)`` throughout pcdet); all BNs run
+frozen (eval mode).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.sparse import (
+    sparse_conv3d_strided,
+    submanifold_conv3d,
+    voxelize_coords_mean,
+)
+
+_BN_EPS = 1e-3
+
+
+def _bn(p, x):
+    return (x - p["mean"]) / jnp.sqrt(p["var"] + _BN_EPS) * p["scale"] + p["bias"]
+
+
+def _subm_block(p, f, coords, mask):
+    """SubMConv3d(bias=False) + BN1d + ReLU (pcdet ``post_act_block`` subm)."""
+    f = submanifold_conv3d(f, coords, mask, p["conv"]["kernel"])
+    f = jax.nn.relu(_bn(p["bn"], f))
+    return jnp.where(mask[:, None], f, 0.0)
+
+
+def _spconv_block(p, f, coords, mask, *, kernel_size, stride, padding, max_voxels):
+    """SparseConv3d(stride, bias=False) + BN1d + ReLU."""
+    f, coords, mask = sparse_conv3d_strided(
+        f, coords, mask, p["conv"]["kernel"],
+        kernel_size=kernel_size, stride=stride, padding=padding,
+        max_voxels=max_voxels,
+    )
+    f = jax.nn.relu(_bn(p["bn"], f))
+    return jnp.where(mask[:, None], f, 0.0), coords, mask
+
+
+def voxel_backbone_8x(p, feats, coords, mask, max_voxels=(65536, 32768, 16384, 8192)):
+    """pcdet ``VoxelBackBone8x`` (spconv_backbone.py): conv_input + 4 stages +
+    conv_out.  ``coords`` are (z, y, x).  Returns the 8x-downsampled level."""
+    f = _subm_block(p["conv_input"], feats, coords, mask)
+    f = _subm_block(p["conv1"][0], f, coords, mask)
+
+    stage_geom = [
+        dict(kernel_size=(3, 3, 3), stride=(2, 2, 2), padding=(1, 1, 1)),
+        dict(kernel_size=(3, 3, 3), stride=(2, 2, 2), padding=(1, 1, 1)),
+        dict(kernel_size=(3, 3, 3), stride=(2, 2, 2), padding=(0, 1, 1)),
+    ]
+    for i, name in enumerate(("conv2", "conv3", "conv4")):
+        blocks = p[name]
+        f, coords, mask = _spconv_block(
+            blocks[0], f, coords, mask, **stage_geom[i], max_voxels=max_voxels[i + 1]
+        )
+        for sub in blocks[1:]:
+            f = _subm_block(sub, f, coords, mask)
+
+    # conv_out: kernel (3,1,1), stride (2,1,1), padding 0 — z-only downsample
+    f, coords, mask = _spconv_block(
+        p["conv_out"], f, coords, mask,
+        kernel_size=(3, 1, 1), stride=(2, 1, 1), padding=(0, 0, 0),
+        max_voxels=max_voxels[-1],
+    )
+    return f, coords, mask
+
+
+def height_compression(f, coords, mask, nz, ny, nx):
+    """pcdet ``HeightCompression``: dense (z, y, x, C) → (y, x, z·C)."""
+    C = f.shape[-1]
+    dense = jnp.zeros((nz, ny, nx, C), f.dtype)
+    zi = jnp.where(mask, jnp.clip(coords[:, 0], 0, nz - 1), nz)
+    yi = jnp.clip(coords[:, 1], 0, ny - 1)
+    xi = jnp.clip(coords[:, 2], 0, nx - 1)
+    dense = dense.at[zi, yi, xi].add(jnp.where(mask[:, None], f, 0.0), mode="drop")
+    return jnp.transpose(dense, (1, 2, 0, 3)).reshape(ny, nx, nz * C)
+
+
+def _conv2d(p, x, stride=1):
+    # explicit symmetric padding k//2 (torch Conv2d/ZeroPad2d semantics —
+    # XLA SAME places odd padding on the high side at stride 2, torch doesn't)
+    kh, kw = p["kernel"].shape[0], p["kernel"].shape[1]
+    pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    return jax.lax.conv_general_dilated(
+        x[None], p["kernel"], (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[0] + p.get("bias", 0.0)
+
+
+def _conv2d_block(p, x, stride=1):
+    return jax.nn.relu(_bn(p["bn"], _conv2d(p["conv"], x, stride)))
+
+
+def bev_backbone(p, x):
+    """pcdet ``BaseBEVBackbone``: per-block stacked 3x3 convs (first one
+    strided) + per-block upsampling deblocks, channel-concatenated."""
+    H0, W0 = x.shape[0], x.shape[1]
+    ups = []
+    h = x
+    for blk, deblk in zip(p["blocks"], p["deblocks"]):
+        h = _conv2d_block(blk[0], h, stride=blk[0]["stride"])
+        for sub in blk[1:]:
+            h = _conv2d_block(sub, h)
+        if deblk["transpose"]:
+            # ConvTranspose2d(k=s, stride=s): exact block scatter —
+            # out[s·i+a, s·j+b, o] = Σ_c x[i,j,c] · W[c,o,a,b]
+            Wt = deblk["conv"]["tkernel"]  # torch layout (in, out, kh, kw)
+            s = deblk["stride"]
+            u = jnp.einsum("hwc,coab->hawbo", h, Wt)
+            u = u.reshape(h.shape[0] * s, h.shape[1] * s, Wt.shape[1])
+        else:  # upsample stride 1 → plain 1x1 conv
+            u = _conv2d(deblk["conv"], h)
+        # odd input sizes: the transpose overshoots by up to one row/col
+        ups.append(jax.nn.relu(_bn(deblk["bn"], u))[:H0, :W0])
+    return jnp.concatenate(ups, axis=-1)
+
+
+def _separate_head(p, x):
+    """pcdet ``SeparateHead``: per-target Sequential of (conv+BN+ReLU)* +
+    final conv (with bias)."""
+    out = {}
+    for name, layers in p.items():
+        h = x
+        for layer in layers[:-1]:
+            h = _conv2d_block(layer, h)
+        out[name] = _conv2d(layers[-1]["conv"], h)
+    return out
+
+
+def center_head(p, x):
+    """pcdet ``CenterHead`` forward: shared conv + per-class-group separate
+    heads.  Returns a list of per-group dicts of raw maps."""
+    h = _conv2d_block(p["shared_conv"], x)
+    return [_separate_head(hp, h) for hp in p["heads_list"]]
+
+
+@partial(jax.jit, static_argnames=("k", "feature_map_stride"))
+def decode_center_boxes(
+    head_out: dict,
+    point_range: jnp.ndarray,
+    voxel_size: jnp.ndarray,
+    k: int = 128,
+    feature_map_stride: int = 8,
+):
+    """CenterPoint decoding (pcdet ``decode_bbox_from_heatmap``): top-k of the
+    sigmoid heatmap; centers = (grid + offset)·stride·voxel + range;
+    sizes = exp(dim); yaw = atan2(rot_sin, rot_cos)."""
+    hm = jax.nn.sigmoid(head_out["hm"])  # (H, W, ncls)
+    H, W, ncls = hm.shape
+    flat = hm.reshape(-1)
+    scores, idx = jax.lax.top_k(flat, k)
+    cls = (idx % ncls).astype(jnp.int32)
+    pix = idx // ncls
+    ys = (pix // W).astype(jnp.float32)
+    xs = (pix % W).astype(jnp.float32)
+
+    def at(name, d):
+        return head_out[name].reshape(-1, d)[pix]
+
+    center = at("center", 2)
+    xs = (xs + center[:, 0]) * feature_map_stride * voxel_size[0] + point_range[0]
+    ys = (ys + center[:, 1]) * feature_map_stride * voxel_size[1] + point_range[1]
+    zs = at("center_z", 1)[:, 0]
+    dim = jnp.exp(at("dim", 3))
+    rot = at("rot", 2)
+    yaw = jnp.arctan2(rot[:, 0], rot[:, 1])
+    boxes = jnp.stack([xs, ys, zs, dim[:, 0], dim[:, 1], dim[:, 2], yaw], axis=1)
+    return boxes, scores, cls
+
+
+@dataclasses.dataclass
+class VoxelRCNNCenterHead:
+    """Eval-mode detector over a padded single cloud.
+
+    ``params``: output of ``convert_voxel_rcnn``; ``class_groups``: class
+    names per CenterHead group (pcdet CLASS_NAMES_EACH_HEAD order).
+    """
+
+    params: Any
+    class_groups: Sequence[Sequence[str]]
+    point_range: Sequence[float] = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
+    voxel_size: Sequence[float] = (0.075, 0.075, 0.2)
+    max_voxels: int = 65536
+    topk_per_head: int = 128
+    score_thresh: float = 0.1
+
+    @property
+    def grid_zyx(self):
+        pr, vs = self.point_range, self.voxel_size
+        nx = int(round((pr[3] - pr[0]) / vs[0]))
+        ny = int(round((pr[4] - pr[1]) / vs[1]))
+        nz = int(round((pr[5] - pr[2]) / vs[2]))
+        return nz, ny, nx
+
+    def _bev_zyx(self):
+        nz, ny, nx = self.grid_zyx
+
+        def down(v, k, s, p):
+            return (v + 2 * p - k) // s + 1
+
+        for geom in ((3, 2, 1), (3, 2, 1)):
+            nz, ny, nx = (down(v, *geom) for v in (nz, ny, nx))
+        nz = down(nz, 3, 2, 0)
+        ny, nx = down(ny, 3, 2, 1), down(nx, 3, 2, 1)
+        nz = down(nz, 3, 2, 0)  # conv_out, z only
+        return nz, ny, nx
+
+    def __call__(self, points: jnp.ndarray, point_mask: jnp.ndarray):
+        """points (N, 3+F) → list of per-group (boxes (k,7), scores, labels)."""
+        pr = jnp.asarray(self.point_range)
+        inr = (
+            point_mask
+            & jnp.all(points[:, :3] >= pr[:3], -1)
+            & jnp.all(points[:, :3] < pr[3:] - 1e-3, -1)
+        )
+        vs = jnp.asarray(self.voxel_size)
+        # pcdet voxel coords are (z, y, x), anchored at the range minimum
+        cell = jnp.floor((points[:, :3] - pr[:3]) / vs).astype(jnp.int32)
+        zyx = jnp.stack([cell[:, 2], cell[:, 1], cell[:, 0]], axis=1)
+        # MeanVFE: mean of raw point features per voxel
+        vox_feats, coords, vmask = voxelize_coords_mean(
+            zyx, points, inr, max_voxels=self.max_voxels
+        )
+        f, c, m = voxel_backbone_8x(self.params["backbone_3d"], vox_feats, coords, vmask)
+        nz, ny, nx = self._bev_zyx()
+        bev = height_compression(f, c, m, nz, ny, nx)
+        h = bev_backbone(self.params["backbone_2d"], bev)
+        heads = center_head(self.params["dense_head"], h)
+
+        out = []
+        voxel_xy = jnp.asarray(self.voxel_size[:2])
+        for g, head_out in enumerate(heads):
+            boxes, scores, cls = decode_center_boxes(
+                head_out, pr, voxel_xy, k=self.topk_per_head
+            )
+            out.append((boxes, scores, cls))
+        return out
+
+    def predict(self, points, point_mask):
+        """Flat detections: (boxes (K,7), scores, class names list, valid)."""
+        per_head = self(points, point_mask)
+        boxes = jnp.concatenate([b for b, _, _ in per_head], axis=0)
+        scores = jnp.concatenate([s for _, s, _ in per_head], axis=0)
+        names = []
+        valid = []
+        for g, (_, s, c) in enumerate(per_head):
+            group = list(self.class_groups[g])
+            names.extend([group[int(ci)] for ci in np.asarray(c)])
+            valid.append(np.asarray(s) >= self.score_thresh)
+        return boxes, scores, names, jnp.asarray(np.concatenate(valid))

@@ -358,3 +358,131 @@ def sparse_upsample2(
     tap = (off[:, 0] * 2 + off[:, 1]) * 2 + off[:, 2]  # ij meshgrid order
     out = jnp.einsum("vc,vco->vo", gathered, kernel[tap])
     return jnp.where(fine_mask[:, None], out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("kernel_size", "stride", "padding", "max_voxels"))
+def sparse_conv3d_strided(
+    features: jnp.ndarray,
+    coords: jnp.ndarray,
+    voxel_mask: jnp.ndarray,
+    kernel: jnp.ndarray,
+    kernel_size: tuple[int, int, int] = (3, 3, 3),
+    stride: tuple[int, int, int] = (2, 2, 2),
+    padding: tuple[int, int, int] = (1, 1, 1),
+    max_voxels: int = 65536,
+):
+    """Regular (non-submanifold) strided sparse conv with spconv output-site
+    semantics (``spconv.SparseConv3d``): output sites are every position the
+    kernel window reaches from an active input —
+    ``o·s − p + t = i`` for some tap ``t ∈ [0, k)``.
+
+    This is the downsampling conv of pcdet's ``VoxelBackBone8x``
+    (kernel 3, stride 2, padding 1 between stages; ``conv_out`` kernel
+    (3,1,1), stride (2,1,1), padding 0).  ``kernel``: (∏k, Cin, Cout), taps in
+    ``ij``-meshgrid order.  Returns (out_feats, out_coords, out_mask).
+    """
+    V = features.shape[0]
+    k, s, p = kernel_size, stride, padding
+
+    # per-axis candidate output coords per input voxel: o = (i + p − t)/s
+    def axis_cands(i, ax):
+        outs = []
+        for t in range(k[ax]):
+            num = i + p[ax] - t
+            ok = (num % s[ax] == 0) & (num >= 0)
+            outs.append((num // s[ax], ok))
+        return outs
+
+    cand_list = []
+    for cx, okx in axis_cands(coords[:, 0], 0):
+        for cy, oky in axis_cands(coords[:, 1], 1):
+            for cz, okz in axis_cands(coords[:, 2], 2):
+                c = jnp.stack([cx, cy, cz], axis=1)
+                ok = okx & oky & okz & voxel_mask
+                cand_list.append((c, ok))
+    # dedup candidates per axis (k=3,s=2 yields duplicate (i+p−t)/s values)
+    cands = jnp.concatenate([c for c, _ in cand_list], axis=0)
+    cmask = jnp.concatenate([m for _, m in cand_list], axis=0)
+
+    hi, lo = _masked_keys(cands, cmask)
+    order = _lex_argsort(hi, lo)
+    shi, slo = hi[order], lo[order]
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]
+    ) & (shi < _KEY_MAX)
+    slot = jnp.cumsum(first) - 1
+    n_out = jnp.sum(first)
+    out_mask = jnp.arange(max_voxels) < n_out
+    out_coords = jnp.zeros((max_voxels, 3), jnp.int32)
+    write = jnp.where(first, slot, max_voxels)
+    out_coords = out_coords.at[write].set(cands[order], mode="drop")
+
+    # gather taps: input coord = o·s − p + t
+    ihi, ilo, iidx = _sorted_key_table(coords, voxel_mask)
+    feats_masked = jnp.where(voxel_mask[:, None], features, 0.0)
+    offs = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(k[0]), jnp.arange(k[1]), jnp.arange(k[2]), indexing="ij"
+        ),
+        axis=-1,
+    ).reshape(-1, 3)
+    svec = jnp.asarray(s, jnp.int32)
+    pvec = jnp.asarray(p, jnp.int32)
+
+    def tap(carry, i):
+        src = out_coords * svec[None] - pvec[None] + offs[i][None]
+        qhi, qlo = coords_key(src)
+        qhi = jnp.where(out_mask, qhi, _KEY_MAX - 1)
+        qlo = jnp.where(out_mask, qlo, _KEY_MAX - 1)
+        nbr = _neighbor_lookup(ihi, ilo, iidx, qhi, qlo)
+        valid = nbr >= 0
+        gathered = feats_masked[jnp.clip(nbr, 0)] * valid[:, None]
+        return carry + jnp.dot(
+            gathered, kernel[i], preferred_element_type=jnp.float32
+        ), None
+
+    out, _ = jax.lax.scan(
+        tap,
+        jnp.zeros((max_voxels, kernel.shape[-1]), jnp.float32),
+        jnp.arange(offs.shape[0]),
+    )
+    return jnp.where(out_mask[:, None], out, 0.0), out_coords, out_mask
+
+
+@partial(jax.jit, static_argnames=("max_voxels",))
+def voxelize_coords_mean(
+    coords_int: jnp.ndarray,
+    feats: jnp.ndarray,
+    point_mask: jnp.ndarray,
+    max_voxels: int = 65536,
+):
+    """Unique-voxel table with MEAN feature pooling over PRE-QUANTIZED int
+    coords (no re-anchoring — for fixed detection grids where coords are
+    already ``floor((p − range_min)/voxel_size)``; pcdet MeanVFE semantics).
+
+    Returns (vox_feats (Vmax, C), vox_coords (Vmax, 3) int32, vox_mask).
+    """
+    N = coords_int.shape[0]
+    hi, lo = _masked_keys(coords_int, point_mask)
+    order = _lex_argsort(hi, lo)
+    shi, slo = hi[order], lo[order]
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])]
+    ) & (shi < _KEY_MAX)
+    slot = jnp.cumsum(first) - 1
+    V = jnp.sum(first)
+    vmask = jnp.arange(max_voxels) < V
+    coords_out = jnp.zeros((max_voxels, 3), jnp.int32)
+    write = jnp.where(first, slot, max_voxels)
+    coords_out = coords_out.at[write].set(coords_int[order], mode="drop")
+    inv = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.minimum(slot, max_voxels - 1).astype(jnp.int32)
+    )
+    idx = jnp.where(point_mask, inv, max_voxels)
+    feats_m = jnp.where(point_mask[:, None], feats, 0.0)
+    sums = jax.ops.segment_sum(feats_m, idx, num_segments=max_voxels + 1)[:max_voxels]
+    cnts = jax.ops.segment_sum(
+        point_mask.astype(feats.dtype), idx, num_segments=max_voxels + 1
+    )[:max_voxels]
+    vox_feats = sums / jnp.maximum(cnts, 1.0)[:, None]
+    return jnp.where(vmask[:, None], vox_feats, 0.0), coords_out, vmask

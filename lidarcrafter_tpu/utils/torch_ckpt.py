@@ -647,3 +647,126 @@ def convert_glenet(sd: Mapping) -> dict:
     params["obj_encoder"] = obj
     stats["obj_encoder"] = obj_stats
     return {"params": params, "batch_stats": stats}
+
+
+# -------------------------------------------------- pcdet VoxelRCNN-CenterHead
+
+
+def _spconv_kernel(w, out_ch):
+    """spconv weight → (k³, Cin, Cout).  Handles both spconv layouts:
+    2.x native (out, kz, ky, kx, in) and 1.x (kz, ky, kx, in, out)."""
+    w = np.asarray(w)
+    assert w.ndim == 5
+    if w.shape[-1] == out_ch and w.shape[0] != out_ch:
+        pass  # (kz, ky, kx, in, out)
+    elif w.shape[0] == out_ch:
+        w = np.transpose(w, (1, 2, 3, 4, 0))  # (out, k..., in) → (k..., in, out)
+    return w.reshape(-1, w.shape[-2], w.shape[-1])
+
+
+def _bn_t(sd, prefix):
+    return {
+        "scale": np.asarray(sd[f"{prefix}.weight"]),
+        "bias": np.asarray(sd[f"{prefix}.bias"]),
+        "mean": np.asarray(sd[f"{prefix}.running_mean"]),
+        "var": np.asarray(sd[f"{prefix}.running_var"]),
+    }
+
+
+def _conv2d_t(sd, prefix):
+    """torch Conv2d (O, I, kh, kw) → HWIO."""
+    out = {"kernel": np.transpose(np.asarray(sd[f"{prefix}.weight"]), (2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_voxel_rcnn(
+    sd: Mapping,
+    layer_strides=(1, 2),
+    upsample_strides=(1, 2),
+) -> dict:
+    """pcdet VoxelRCNN-CenterHead state_dict → params for
+    :class:`~lidarcrafter_tpu.metrics.models.voxel_rcnn.VoxelRCNNCenterHead`.
+
+    Maps the released checkpoint's module names (``backbone_3d.conv_input`` …
+    ``dense_head.heads_list.N.<target>``; cf. pcdet spconv_backbone.py /
+    base_bev_backbone.py / center_head.py — the reference loads these external
+    weights at ``extract_foreground_samples.py:25``).  ``layer_strides`` /
+    ``upsample_strides`` come from the yaml (not stored in weights); defaults
+    are the standard nuScenes VoxelRCNN-CenterHead config.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items() if "num_batches_tracked" not in k}
+
+    def spconv_block(conv_key, bn_key):
+        bn = _bn_t(sd, bn_key)
+        return {"conv": {"kernel": _spconv_kernel(sd[f"{conv_key}.weight"],
+                                                  len(bn["scale"]))},
+                "bn": bn}
+
+    b3 = {"conv_input": spconv_block("backbone_3d.conv_input.0",
+                                     "backbone_3d.conv_input.1")}
+    for stage in ("conv1", "conv2", "conv3", "conv4"):
+        blocks = []
+        i = 0
+        while f"backbone_3d.{stage}.{i}.0.weight" in sd:
+            blocks.append(spconv_block(f"backbone_3d.{stage}.{i}.0",
+                                       f"backbone_3d.{stage}.{i}.1"))
+            i += 1
+        b3[stage] = blocks
+    b3["conv_out"] = spconv_block("backbone_3d.conv_out.0",
+                                  "backbone_3d.conv_out.1")
+
+    # ---- BEV backbone: collect (conv, bn) pairs per block in index order
+    b2 = {"blocks": [], "deblocks": []}
+    bi = 0
+    while any(k.startswith(f"backbone_2d.blocks.{bi}.") for k in sd):
+        idxs = sorted(
+            {int(k.split(".")[3]) for k in sd
+             if k.startswith(f"backbone_2d.blocks.{bi}.") and k.endswith(".weight")
+             and sd[k].ndim == 4}
+        )
+        convs = []
+        for j, ci in enumerate(idxs):
+            conv = _conv2d_t(sd, f"backbone_2d.blocks.{bi}.{ci}")
+            bn = _bn_t(sd, f"backbone_2d.blocks.{bi}.{ci + 1}")
+            convs.append({"conv": conv, "bn": bn,
+                          "stride": layer_strides[bi] if j == 0 else 1})
+        b2["blocks"].append(convs)
+        bi += 1
+    for di in range(bi):
+        s = upsample_strides[di]
+        w = sd[f"backbone_2d.deblocks.{di}.0.weight"]
+        bn = _bn_t(sd, f"backbone_2d.deblocks.{di}.1")
+        if s > 1:  # ConvTranspose2d, torch layout (in, out, kh, kw) kept
+            conv = {"tkernel": np.asarray(w)}
+        else:
+            conv = {"kernel": np.transpose(np.asarray(w), (2, 3, 1, 0))}
+        b2["deblocks"].append(
+            {"conv": conv, "bn": bn, "stride": s, "transpose": s > 1}
+        )
+
+    # ---- CenterHead
+    dh = {"shared_conv": {"conv": _conv2d_t(sd, "dense_head.shared_conv.0"),
+                          "bn": _bn_t(sd, "dense_head.shared_conv.1")},
+          "heads_list": []}
+    g = 0
+    while any(k.startswith(f"dense_head.heads_list.{g}.") for k in sd):
+        names = sorted(
+            {k.split(".")[3] for k in sd if k.startswith(f"dense_head.heads_list.{g}.")}
+        )
+        head = {}
+        for name in names:
+            p = f"dense_head.heads_list.{g}.{name}"
+            layers = []
+            j = 0
+            while f"{p}.{j}.0.weight" in sd:  # Sequential(conv, bn, relu)
+                layers.append({"conv": _conv2d_t(sd, f"{p}.{j}.0"),
+                               "bn": _bn_t(sd, f"{p}.{j}.1")})
+                j += 1
+            layers.append({"conv": _conv2d_t(sd, f"{p}.{j}")})  # final conv
+            head[name] = layers
+        dh["heads_list"].append(head)
+        g += 1
+
+    return {"backbone_3d": b3, "backbone_2d": b2, "dense_head": dh}

@@ -203,3 +203,85 @@ def test_submanifold_conv_wide_grid_matches_dense():
             if j is not None:
                 want += feats[j] @ kernel[t]
         np.testing.assert_allclose(out[i], want, rtol=1e-5, atol=1e-5)
+
+
+def test_sparse_conv3d_strided_matches_dense():
+    """spconv SparseConv3d semantics (k=3, s=2, p=1): output sites are every
+    strided position whose window touches an active voxel; values match a
+    dense strided conv there (pcdet VoxelBackBone8x downsampling)."""
+    from lidarcrafter_tpu.ops.sparse import sparse_conv3d_strided
+
+    rng = np.random.RandomState(11)
+    G = 9  # odd grid to exercise boundary windows
+    occ = rng.rand(G, G, G) < 0.12
+    coords = np.argwhere(occ).astype(np.int32)
+    nvox = len(coords)
+    V = 128
+    cp = np.zeros((V, 3), np.int32)
+    cp[:nvox] = coords
+    mask = np.zeros((V,), bool)
+    mask[:nvox] = True
+    Cin, Cout = 3, 4
+    feats = np.zeros((V, Cin), np.float32)
+    feats[:nvox] = rng.randn(nvox, Cin).astype(np.float32)
+    kernel = rng.randn(27, Cin, Cout).astype(np.float32) * 0.3
+
+    out, oc, om = sparse_conv3d_strided(
+        jnp.asarray(feats), jnp.asarray(cp), jnp.asarray(mask),
+        jnp.asarray(kernel), kernel_size=(3, 3, 3), stride=(2, 2, 2),
+        padding=(1, 1, 1), max_voxels=256,
+    )
+    out, oc, om = np.asarray(out), np.asarray(oc), np.asarray(om)
+
+    table = {tuple(c): i for i, c in enumerate(coords)}
+    want_sites = set()
+    for c in coords:
+        # spconv rule: o = (i + p - t) / s for t in kernel
+        for ox in {(c[0] + 1 - t) // 2 for t in range(3) if (c[0] + 1 - t) % 2 == 0 and c[0] + 1 - t >= 0}:
+            for oy in {(c[1] + 1 - t) // 2 for t in range(3) if (c[1] + 1 - t) % 2 == 0 and c[1] + 1 - t >= 0}:
+                for oz in {(c[2] + 1 - t) // 2 for t in range(3) if (c[2] + 1 - t) % 2 == 0 and c[2] + 1 - t >= 0}:
+                    want_sites.add((ox, oy, oz))
+    got_sites = {tuple(c) for c in oc[om]}
+    assert got_sites == want_sites
+
+    offs = np.stack(np.meshgrid(range(3), range(3), range(3), indexing="ij"), -1).reshape(-1, 3)
+    for i, o in enumerate(oc[om]):
+        want = np.zeros(Cout, np.float32)
+        for t, off in enumerate(offs):
+            src = tuple(o * 2 - 1 + off)
+            j = table.get(src)
+            if j is not None:
+                want += feats[j] @ kernel[t]
+        np.testing.assert_allclose(out[om][i], want, rtol=1e-5, atol=1e-5)
+
+
+def test_sparse_conv3d_strided_z_only():
+    """conv_out variant: kernel (3,1,1), stride (2,1,1), padding 0."""
+    from lidarcrafter_tpu.ops.sparse import sparse_conv3d_strided
+
+    rng = np.random.RandomState(12)
+    coords = np.array([[0, 1, 1], [1, 1, 1], [2, 1, 1], [5, 2, 3]], np.int32)
+    V = 16
+    cp = np.zeros((V, 3), np.int32); cp[:4] = coords
+    mask = np.zeros((V,), bool); mask[:4] = True
+    feats = np.zeros((V, 2), np.float32)
+    feats[:4] = rng.randn(4, 2).astype(np.float32)
+    kernel = rng.randn(3, 2, 2).astype(np.float32)
+
+    out, oc, om = sparse_conv3d_strided(
+        jnp.asarray(feats), jnp.asarray(cp), jnp.asarray(mask),
+        jnp.asarray(kernel), kernel_size=(3, 1, 1), stride=(2, 1, 1),
+        padding=(0, 0, 0), max_voxels=16,
+    )
+    out, oc, om = np.asarray(out), np.asarray(oc), np.asarray(om)
+    # sites: o = (i - t)/2, t in {0,1,2}: i=0→{0}, 1→{0}, 2→{0,1}, 5→{2} (y,z kept)
+    got = {tuple(c) for c in oc[om]}
+    assert got == {(0, 1, 1), (1, 1, 1), (2, 2, 3)}
+    table = {tuple(c): i for i, c in enumerate(coords)}
+    for i, o in enumerate(oc[om]):
+        want = np.zeros(2, np.float32)
+        for t in range(3):
+            j = table.get((o[0] * 2 + t, o[1], o[2]))
+            if j is not None:
+                want += feats[j] @ kernel[t]
+        np.testing.assert_allclose(out[om][i], want, rtol=1e-5, atol=1e-6)
