@@ -270,3 +270,37 @@ class VoxelRCNNCenterHead:
             names.extend([group[int(ci)] for ci in np.asarray(c)])
             valid.append(np.asarray(s) >= self.score_thresh)
         return boxes, scores, names, jnp.asarray(np.concatenate(valid))
+
+
+# nuScenes CenterHead class grouping (pcdet CLASS_NAMES_EACH_HEAD convention)
+NUSC_CLASS_GROUPS = (
+    ("car",),
+    ("truck", "construction_vehicle"),
+    ("bus", "trailer"),
+    ("barrier",),
+    ("motorcycle", "bicycle"),
+    ("pedestrian", "traffic_cone"),
+)
+
+
+def load_voxel_rcnn_from_pcdet(ckpt_path, class_groups=NUSC_CLASS_GROUPS, **kwargs):
+    """Build a :class:`VoxelRCNNCenterHead` from a released pcdet checkpoint
+    (the reference's ``--pretrained_model`` at
+    ``extract_foreground_samples.py:25``).  Accepts pcdet's
+    ``{'model_state': ...}`` wrapper or a plain state_dict."""
+    import torch
+
+    from ...utils.torch_ckpt import convert_voxel_rcnn
+
+    obj = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    for key in ("model_state", "state_dict", "net"):
+        if isinstance(obj, dict) and key in obj:
+            obj = obj[key]
+            break
+    sd = {k: v.numpy() for k, v in obj.items()}
+    n_heads = len({k.split(".")[2] for k in sd if k.startswith("dense_head.heads_list.")})
+    if n_heads and n_heads != len(class_groups):
+        class_groups = class_groups[:n_heads]
+    return VoxelRCNNCenterHead(
+        params=convert_voxel_rcnn(sd), class_groups=class_groups, **kwargs
+    )

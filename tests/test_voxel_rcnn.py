@@ -207,3 +207,30 @@ def test_decode_center_boxes_semantics():
                                [7.25 * 0.8 - 8, 4.75 * 0.8 - 8, -1.0], atol=1e-5)
     np.testing.assert_allclose(np.asarray(boxes[0, 3:6]), [4.0, 2.0, 1.5], rtol=1e-5)
     np.testing.assert_allclose(float(boxes[0, 6]), 0.7, atol=1e-5)
+
+
+def test_load_voxel_rcnn_from_pcdet(tmp_path):
+    """Released-ckpt wrapper: {'model_state': sd} torch file → detector."""
+    from lidarcrafter_tpu.metrics.models.voxel_rcnn import load_voxel_rcnn_from_pcdet
+
+    sd = {**_min_sparse_sd(layout="spconv2"), **_min_bev_sd(), **_min_head_sd()}
+    ckpt = tmp_path / "voxel_rcnn.pth"
+    torch.save({"model_state": {k: torch.from_numpy(v) for k, v in sd.items()}}, ckpt)
+
+    det = load_voxel_rcnn_from_pcdet(
+        ckpt,
+        point_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 1.0),
+        voxel_size=(0.1, 0.1, 0.1),
+        max_voxels=8192,
+        topk_per_head=8,
+    )
+    assert len(det.class_groups) == 2  # truncated to the ckpt's head count
+    r = np.random.RandomState(5)
+    pts = np.concatenate(
+        [r.rand(512, 2) * 14 - 7, r.rand(512, 1) * 3 - 2.5, r.rand(512, 1)], 1
+    ).astype(np.float32)
+    boxes, scores, names, valid = det.predict(
+        jnp.asarray(pts), jnp.ones((512,), bool)
+    )
+    assert boxes.shape == (16, 7) and len(names) == 16
+    assert np.isfinite(np.asarray(boxes)).all()

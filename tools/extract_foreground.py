@@ -42,6 +42,10 @@ def main():
     p.add_argument("-o", "--output-dir", required=True)
     p.add_argument("--params", default=None, help="msgpack/pkl of detector params")
     p.add_argument("--random-params", action="store_true")
+    p.add_argument("--pcdet-ckpt", default=None,
+                   help="released pcdet VoxelRCNN-CenterHead checkpoint "
+                        "(reference extract_foreground_samples.py:25) — runs "
+                        "the faithful ingestion path instead of VoxelDetector")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--max-points", type=int, default=32768)
     p.add_argument("--score-thresh", type=float, default=0.3)
@@ -67,25 +71,46 @@ def main():
     if not files:
         raise SystemExit(f"no generated clouds found in {args.gen_dir}")
 
-    model = VoxelDetector(voxel_size=args.voxel_size,
-                          point_range=tuple(args.point_range))
     P = args.max_points
-    dummy = (jnp.zeros((P, 4)), jnp.ones((P,), bool))
-    if args.params:
-        with open(args.params, "rb") as f:
-            params = pickle.load(f)
-    elif args.random_params:
-        params = model.init(jax.random.PRNGKey(0), *dummy)
+    if args.pcdet_ckpt:
+        from lidarcrafter_tpu.metrics.models.voxel_rcnn import (
+            load_voxel_rcnn_from_pcdet,
+        )
+
+        det = load_voxel_rcnn_from_pcdet(
+            args.pcdet_ckpt, point_range=tuple(args.point_range),
+            score_thresh=args.score_thresh,
+        )
+
+        def det_fn(pts, msk):
+            boxes, scores, names, valid = det.predict(pts, msk)
+            labels = np.array(
+                [CLASS_NAMES.index(n) if n in CLASS_NAMES else -1 for n in names],
+                np.int32,
+            )
+            # detections outside the DCF class set are dropped (labels -1)
+            return boxes, scores, jnp.asarray(np.maximum(labels, 0)), (
+                jnp.asarray(valid) & jnp.asarray(labels >= 0)
+            )
     else:
-        raise SystemExit("pass --params <file> or --random-params")
+        model = VoxelDetector(voxel_size=args.voxel_size,
+                              point_range=tuple(args.point_range))
+        dummy = (jnp.zeros((P, 4)), jnp.ones((P,), bool))
+        if args.params:
+            with open(args.params, "rb") as f:
+                params = pickle.load(f)
+        elif args.random_params:
+            params = model.init(jax.random.PRNGKey(0), *dummy)
+        else:
+            raise SystemExit("pass --params <file> or --random-params")
+
+        det_fn = jax.jit(
+            lambda pts, msk: predict(model, params, pts, msk,
+                                     score_thresh=args.score_thresh)
+        )
 
     out = Path(args.output_dir)
     (out / "foreground_samples").mkdir(parents=True, exist_ok=True)
-
-    det_fn = jax.jit(
-        lambda pts, msk: predict(model, params, pts, msk,
-                                 score_thresh=args.score_thresh)
-    )
 
     det_annos = []
     info = defaultdict(list)
