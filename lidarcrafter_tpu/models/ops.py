@@ -77,7 +77,9 @@ class RingConv(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # Zero-padding on H folds into the conv (fused by XLA); only the
         # circular azimuth wrap materializes (one small concat of edge slices)
-        # instead of two full padded copies.
+        # instead of two full padded copies.  (An edge-column-correction
+        # variant that avoids the wrap copy entirely was measured SLOWER —
+        # the per-conv column scatters break XLA fusion; keep the concat.)
         p = self.padding
         conv_padding = ((p, p), (0, 0)) if p != 0 else "VALID"
         if p != 0:
@@ -127,50 +129,44 @@ class Resample(nn.Module):
             self.p1 = (n_taps - self.down) // 2
         self.margin = int(max(self.p0, self.p1))
 
-    def _fir_1d(self, x: jnp.ndarray, axis: int) -> jnp.ndarray:
-        """Depthwise 1D FIR along H (axis=1) or W (axis=2) of NHWC."""
-        C = x.shape[-1]
+    def _kernel_2d(self, C: int, dtype) -> jnp.ndarray:
+        """4x4 depthwise FIR = outer product of the 1D window (exactly the
+        separable two-pass composition)."""
         n = len(self.window)
-        if axis == 1:
-            kernel = self.kernel.reshape(n, 1, 1, 1)
-        else:
-            kernel = self.kernel.reshape(1, n, 1, 1)
-        kernel = jnp.tile(kernel, (1, 1, 1, C)).astype(x.dtype)
-        return jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            window_strides=(1, 1),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=C,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        k2d = jnp.outer(self.kernel, self.kernel).reshape(n, n, 1, 1)
+        return jnp.tile(k2d, (1, 1, 1, C)).astype(dtype)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """One depthwise conv per call: zero-insertion upsampling rides the
+        conv's ``lhs_dilation`` and downsampling its ``window_strides`` — no
+        4x-size zero-inserted intermediate and no second separable pass.  The
+        sampler is HBM-bandwidth-bound (~13 GB/step measured), so resample
+        traffic is first-order; the math is identical to the reference's
+        pad→insert→FIR→stride pipeline (``ops.py:52-146``)."""
         B, H, W, C = x.shape
         m, up, down = self.margin, self.up, self.down
         # margin pad (circular W / zero H)
         x = ring_pad(x, (m, m, m, m), ring=self.ring)
         Hp, Wp = H + 2 * m, W + 2 * m
-        # zero-insertion upsample
+        kernel = self._kernel_2d(C, x.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
         if up > 1:
-            x = x.reshape(B, Hp, 1, Wp, 1, C)
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, up - 1), (0, 0), (0, up - 1), (0, 0)))
-            x = x.reshape(B, Hp * up, Wp * up, C)
-        # crop to the FIR input window
-        x = x[
-            :,
-            m * up - self.p0 : (Hp - m) * up + self.p1,
-            m * up - self.p0 : (Wp - m) * up + self.p1,
-            :,
-        ]
-        # separable FIR
-        x = self._fir_1d(x, axis=2)
-        x = self._fir_1d(x, axis=1)
-        # downsample
-        if down > 1:
-            x = x[:, ::down, ::down, :]
-        return x
+            # padding (0, up-1) after dilation reproduces the reference's
+            # trailing-zero insertion exactly; then slice the crop window
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), ((0, up - 1), (0, up - 1)),
+                lhs_dilation=(up, up), dimension_numbers=dn,
+                feature_group_count=C, precision=jax.lax.Precision.HIGHEST,
+            )
+            s = m * up - self.p0
+            return y[:, s : s + H * up, s : s + W * up, :]
+        # down: slice the crop window, then one strided VALID conv
+        s = m - self.p0
+        xs = x[:, s : Hp - m + self.p1, s : Wp - m + self.p1, :]
+        return jax.lax.conv_general_dilated(
+            xs, kernel, (down, down), "VALID", dimension_numbers=dn,
+            feature_group_count=C, precision=jax.lax.Precision.HIGHEST,
+        )
 
 
 class AdaGN(nn.Module):
