@@ -882,3 +882,146 @@ def test_layout_unet_v0_numerical_parity_with_reference():
     )
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def _load_ref_module_pkg(pkg_name, base_dir, names):
+    """Load reference modules as a package so relative imports resolve."""
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [str(base_dir)]
+        sys.modules[pkg_name] = pkg
+    for name in names:
+        full = f"{pkg_name}.{name}"
+        if full in sys.modules:
+            continue
+        spec = importlib.util.spec_from_file_location(full, base_dir / f"{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[full] = mod
+        spec.loader.exec_module(mod)
+        setattr(sys.modules[pkg_name], name, mod)
+    return sys.modules
+
+
+def test_point_unet_numerical_parity_with_reference():
+    """Executed reference PointUNet (point_unet.py:28-72) vs converted."""
+    from lidarcrafter_tpu.models.point_unet import PointUNet
+    from lidarcrafter_tpu.utils.torch_ckpt import convert_point_unet
+
+    mods = _load_ref_module_pkg(
+        "refpu", REF / "lidargen/models/unets", ["point_unet"]
+    )
+    torch.manual_seed(3)
+    t = mods["refpu.point_unet"].PointUNet(point_dim=4, cond_dims=768).eval()
+
+    r = np.random.RandomState(3)
+    coords = r.randn(2, 64, 4).astype(np.float32)
+    beta = r.rand(2).astype(np.float32)
+    cond = r.randn(2, 768).astype(np.float32)
+    with torch.no_grad():
+        want = t(
+            torch.from_numpy(coords),
+            {"time_condition": torch.from_numpy(beta),
+             "other_condition": torch.from_numpy(cond)},
+        ).numpy()
+
+    m = PointUNet(point_dim=4, cond_dims=768)
+    params = convert_point_unet({k: v.numpy() for k, v in t.state_dict().items()})
+    got = np.asarray(m.apply(
+        params, jnp.asarray(coords),
+        {"time_condition": jnp.asarray(beta), "other_condition": jnp.asarray(cond)},
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_object_gen_encoder_numerical_parity_with_reference():
+    """Executed reference ObjectGenEncoder (encoders/object_gen_encoder.py:8-66)
+    vs converted (text-feature table injected, not unpickled)."""
+    from lidarcrafter_tpu.models.point_unet import ObjectGenEncoder
+    from lidarcrafter_tpu.utils.torch_ckpt import convert_object_gen_encoder
+
+    mods = _load_ref_module_pkg(
+        "refenc", REF / "lidargen/models/unets/encoders",
+        ["embedder", "object_gen_encoder"],
+    )
+    classes = ["car", "truck", "construction_vehicle", "bus", "trailer",
+               "motorcycle", "bicycle", "pedestrian"]
+    torch.manual_seed(4)
+    t = mods["refenc.object_gen_encoder"].ObjectGenEncoder(
+        num_class=8, input_dim=6, object_classes=classes
+    ).eval()
+    r = np.random.RandomState(4)
+    text_feat = r.randn(8, 512).astype(np.float32)
+    t.obj_text_feat = {c: torch.from_numpy(text_feat[i]) for i, c in enumerate(classes)}
+    t.prepare_called = True
+
+    boxes = r.randn(5, 6).astype(np.float32)
+    cls = r.randint(0, 8, (5,))
+    with torch.no_grad():
+        want = t({"fg_encoding_box": torch.from_numpy(boxes),
+                  "fg_class": torch.from_numpy(cls)}).numpy()
+
+    m = ObjectGenEncoder()
+    params = convert_object_gen_encoder(
+        {k: v.numpy() for k, v in t.state_dict().items()}
+    )
+    got = np.asarray(m.apply(params, {
+        "fg_encoding_box": jnp.asarray(boxes),
+        "fg_class": jnp.asarray(cls.astype(np.int32)),
+        "fg_text_features": jnp.asarray(text_feat),
+    }))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_scene_graph_numerical_parity_with_reference():
+    """Executed reference SceneGraph GCN (scene_graph.py:6-148, no-edit path)
+    vs converted — encoder + manipulation nets both exercised."""
+    from lidarcrafter_tpu.models.scene_graph import SceneGraph
+    from lidarcrafter_tpu.utils.torch_ckpt import convert_scene_graph
+
+    mods = _load_ref_module_pkg(
+        "refsg", REF / "lidargen/models/unets", ["graph", "scene_graph"]
+    )
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        vocab = {
+            "object_idx_to_name": [f"o{i}" for i in range(9)],
+            "pred_idx_to_name": [f"p{i}" for i in range(16)],
+        }
+        torch.manual_seed(5)
+        t = mods["refsg.scene_graph"].SceneGraph(
+            vocab, embedding_dim=64, gconv_num_layers=5,
+            mlp_normalization="none", use_clip=True,
+        ).eval()
+
+        r = np.random.RandomState(5)
+        N, E = 7, 10
+        objs = r.randint(0, 9, (N,))
+        triples = np.stack(
+            [r.randint(0, N, (E,)), r.randint(0, 16, (E,)), r.randint(0, N, (E,))],
+            axis=1,
+        )
+        text = r.randn(N, 512).astype(np.float32)
+        rel = r.randn(E, 512).astype(np.float32)
+        with torch.no_grad():
+            want_latent, want_obj_embed = t(
+                torch.from_numpy(objs), torch.from_numpy(triples),
+                torch.from_numpy(text), torch.from_numpy(rel),
+                torch.from_numpy(objs), torch.from_numpy(triples), None,
+                torch.from_numpy(text), torch.from_numpy(rel),
+                None, None, [], [],
+            )
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    m = SceneGraph(num_objs=9, num_preds=16, embedding_dim=64)
+    params = convert_scene_graph({k: v.numpy() for k, v in t.state_dict().items()})
+    latent, obj_embed = m.apply(
+        params, jnp.asarray(objs.astype(np.int32)),
+        jnp.asarray(triples.astype(np.int32)), jnp.asarray(text), jnp.asarray(rel),
+        edge_mask=jnp.ones((E,), bool),
+    )
+    np.testing.assert_allclose(
+        np.asarray(latent), want_latent.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(obj_embed), want_obj_embed.numpy(), rtol=1e-4, atol=1e-5)
