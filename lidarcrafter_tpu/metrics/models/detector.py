@@ -82,17 +82,20 @@ class BEVBackbone(nn.Module):
 
 
 def decode_boxes(deltas: jnp.ndarray, anchors: jnp.ndarray) -> jnp.ndarray:
-    """SECOND residual decoding: (..., 7) deltas × (..., 7) anchors → boxes."""
+    """SECOND/pcdet ``ResidualCoder.decode_torch`` residual decoding:
+    (..., 7) deltas × (..., 7) anchors → boxes.  The anchor z is lifted to the
+    box top-center frame (``za + dza/2``) and shifted back by the decoded
+    height (``zg − dzg/2``), exactly like pcdet's coder."""
     xa, ya, za = anchors[..., 0], anchors[..., 1], anchors[..., 2]
     la, wa, ha = anchors[..., 3], anchors[..., 4], anchors[..., 5]
     ra = anchors[..., 6]
     diag = jnp.sqrt(la**2 + wa**2)
     x = deltas[..., 0] * diag + xa
     y = deltas[..., 1] * diag + ya
-    z = deltas[..., 2] * ha + za
     l = jnp.exp(deltas[..., 3]) * la
     w = jnp.exp(deltas[..., 4]) * wa
     h = jnp.exp(deltas[..., 5]) * ha
+    z = deltas[..., 2] * ha + (za + ha / 2) - h / 2
     r = deltas[..., 6] + ra
     return jnp.stack([x, y, z, l, w, h, r], axis=-1)
 

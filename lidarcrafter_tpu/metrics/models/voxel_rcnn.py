@@ -59,9 +59,15 @@ def _spconv_block(p, f, coords, mask, *, kernel_size, stride, padding, max_voxel
     return jnp.where(mask[:, None], f, 0.0), coords, mask
 
 
-def voxel_backbone_8x(p, feats, coords, mask, max_voxels=(65536, 32768, 16384, 8192)):
+def voxel_backbone_8x(
+    p, feats, coords, mask,
+    max_voxels=(65536, 32768, 16384, 8192),
+    return_levels: bool = False,
+):
     """pcdet ``VoxelBackBone8x`` (spconv_backbone.py): conv_input + 4 stages +
-    conv_out.  ``coords`` are (z, y, x).  Returns the 8x-downsampled level."""
+    conv_out.  ``coords`` are (z, y, x).  Returns the 8x-downsampled level;
+    with ``return_levels`` also the x_conv2/3/4 intermediates (stride 2/4/8)
+    the VoxelRCNN RoI head pools from."""
     f = _subm_block(p["conv_input"], feats, coords, mask)
     f = _subm_block(p["conv1"][0], f, coords, mask)
 
@@ -70,6 +76,7 @@ def voxel_backbone_8x(p, feats, coords, mask, max_voxels=(65536, 32768, 16384, 8
         dict(kernel_size=(3, 3, 3), stride=(2, 2, 2), padding=(1, 1, 1)),
         dict(kernel_size=(3, 3, 3), stride=(2, 2, 2), padding=(0, 1, 1)),
     ]
+    levels = []
     for i, name in enumerate(("conv2", "conv3", "conv4")):
         blocks = p[name]
         f, coords, mask = _spconv_block(
@@ -77,6 +84,9 @@ def voxel_backbone_8x(p, feats, coords, mask, max_voxels=(65536, 32768, 16384, 8
         )
         for sub in blocks[1:]:
             f = _subm_block(sub, f, coords, mask)
+        levels.append(
+            {"feats": f, "coords": coords, "mask": mask, "stride": 2 ** (i + 1)}
+        )
 
     # conv_out: kernel (3,1,1), stride (2,1,1), padding 0 — z-only downsample
     f, coords, mask = _spconv_block(
@@ -84,6 +94,8 @@ def voxel_backbone_8x(p, feats, coords, mask, max_voxels=(65536, 32768, 16384, 8
         kernel_size=(3, 1, 1), stride=(2, 1, 1), padding=(0, 0, 0),
         max_voxels=max_voxels[-1],
     )
+    if return_levels:
+        return f, coords, mask, levels
     return f, coords, mask
 
 
@@ -228,7 +240,11 @@ class VoxelRCNNCenterHead:
         return nz, ny, nx
 
     def __call__(self, points: jnp.ndarray, point_mask: jnp.ndarray):
-        """points (N, 3+F) → list of per-group (boxes (k,7), scores, labels)."""
+        """points (N, 3+F) → list of per-group (boxes (k,7), scores, labels).
+
+        When the checkpoint carries a ``roi_head``, CenterHead detections are
+        treated as proposals and refined/rescored by the VoxelRCNN second
+        stage (pcdet ``VoxelRCNNHead``)."""
         pr = jnp.asarray(self.point_range)
         inr = (
             point_mask
@@ -243,7 +259,10 @@ class VoxelRCNNCenterHead:
         vox_feats, coords, vmask = voxelize_coords_mean(
             zyx, points, inr, max_voxels=self.max_voxels
         )
-        f, c, m = voxel_backbone_8x(self.params["backbone_3d"], vox_feats, coords, vmask)
+        f, c, m, levels = voxel_backbone_8x(
+            self.params["backbone_3d"], vox_feats, coords, vmask,
+            return_levels=True,
+        )
         nz, ny, nx = self._bev_zyx()
         bev = height_compression(f, c, m, nz, ny, nx)
         h = bev_backbone(self.params["backbone_2d"], bev)
@@ -256,20 +275,29 @@ class VoxelRCNNCenterHead:
                 head_out, pr, voxel_xy, k=self.topk_per_head
             )
             out.append((boxes, scores, cls))
+        self._levels = levels  # kept for the RoI second stage (predict)
         return out
 
     def predict(self, points, point_mask):
-        """Flat detections: (boxes (K,7), scores, class names list, valid)."""
+        """Flat detections: (boxes (K,7), scores, class names list, valid).
+
+        With a ``roi_head`` in the checkpoint, the flat CenterHead proposal
+        set is refined/rescored ONCE by the VoxelRCNN second stage."""
         per_head = self(points, point_mask)
         boxes = jnp.concatenate([b for b, _, _ in per_head], axis=0)
         scores = jnp.concatenate([s for _, s, _ in per_head], axis=0)
+        if "roi_head" in self.params:
+            boxes, scores = voxel_rcnn_roi_head(
+                self.params["roi_head"], boxes,
+                jnp.ones((boxes.shape[0],), bool), self._levels,
+                self.point_range, self.voxel_size, self.grid_zyx,
+            )
         names = []
-        valid = []
-        for g, (_, s, c) in enumerate(per_head):
+        for g, (_, _, c) in enumerate(per_head):
             group = list(self.class_groups[g])
             names.extend([group[int(ci)] for ci in np.asarray(c)])
-            valid.append(np.asarray(s) >= self.score_thresh)
-        return boxes, scores, names, jnp.asarray(np.concatenate(valid))
+        valid = np.asarray(scores) >= self.score_thresh
+        return boxes, scores, names, jnp.asarray(valid)
 
 
 # nuScenes CenterHead class grouping (pcdet CLASS_NAMES_EACH_HEAD convention)
@@ -304,3 +332,173 @@ def load_voxel_rcnn_from_pcdet(ckpt_path, class_groups=NUSC_CLASS_GROUPS, **kwar
     return VoxelRCNNCenterHead(
         params=convert_voxel_rcnn(sd), class_groups=class_groups, **kwargs
     )
+
+
+# -------------------------------------------------------- RoI refinement head
+
+
+def roi_grid_points(rois: jnp.ndarray, grid_size: int = 6) -> jnp.ndarray:
+    """(N, 7) rois → (N, G³, 3) global grid points; pcdet
+    ``VoxelRCNNHead.get_global_grid_points_of_roi`` /
+    ``get_dense_grid_points``: dense (idx+0.5)/G local grid scaled by box
+    size, centered, rotated by yaw, translated to the box center."""
+    G = grid_size
+    idx = jnp.stack(
+        jnp.meshgrid(jnp.arange(G), jnp.arange(G), jnp.arange(G), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3).astype(jnp.float32)  # (G³, [x,y,z] order like pcdet)
+    local = (idx + 0.5) / G * rois[:, None, 3:6] - rois[:, None, 3:6] / 2
+    cos, sin = jnp.cos(rois[:, 6]), jnp.sin(rois[:, 6])
+    x = local[..., 0] * cos[:, None] - local[..., 1] * sin[:, None]
+    y = local[..., 0] * sin[:, None] + local[..., 1] * cos[:, None]
+    rot = jnp.stack([x, y, local[..., 2]], axis=-1)
+    return rot + rois[:, None, :3]
+
+
+def dense_point_index_grid(coords_zyx, mask, nz, ny, nx):
+    """(V, 3) zyx coords → (1, Z, Y, X) int32 grid of voxel row indices
+    (−1 = empty); pcdet ``common_utils.generate_voxel2pinds``."""
+    grid = jnp.full((nz, ny, nx), -1, jnp.int32)
+    zi = jnp.where(mask, jnp.clip(coords_zyx[:, 0], 0, nz - 1), nz)
+    yi = jnp.clip(coords_zyx[:, 1], 0, ny - 1)
+    xi = jnp.clip(coords_zyx[:, 2], 0, nx - 1)
+    idx = jnp.arange(coords_zyx.shape[0], dtype=jnp.int32)
+    return grid.at[zi, yi, xi].set(idx, mode="drop")[None]
+
+
+def _neighbor_pool(p, level, grid_xyz, grid_coords_bxyz, grid_mask,
+                   point_range, voxel_size, query_range, radius, nsample):
+    """One NeighborVoxelSAModuleMSG scale (``voxel_pool_modules.py:8-130``):
+    mlp_in(features) → voxel query/group → +pos mlp → relu → max pool →
+    mlp_out.  BN eps 1e-5 (torch default in that module)."""
+    from ...ops.stack import voxel_query
+
+    feats, coords, vmask = level["feats"], level["coords"], level["mask"]
+    stride = level["stride"]
+    vs = np.asarray(voxel_size) * stride
+    # voxel centers in world (get_voxel_centers; coords are zyx)
+    centers = (
+        coords[:, ::-1].astype(jnp.float32) + 0.5
+    ) * jnp.asarray(vs) + jnp.asarray(point_range[:3])
+
+    def bn5(pp, x):
+        return (x - pp["mean"]) / jnp.sqrt(pp["var"] + 1e-5) * pp["scale"] + pp["bias"]
+
+    f_in = feats @ p["mlp_in"]["conv"]["kernel"]
+    f_in = bn5(p["mlp_in"]["bn"], f_in)
+    f_in = jnp.where(vmask[:, None], f_in, 0.0)
+
+    nz, ny, nx = level["grid_zyx"]
+    pind = dense_point_index_grid(coords, vmask, nz, ny, nx)
+    # reference reorders new_coords (b,x,y,z) → (b,z,y,x) (forward:84)
+    coords_bzyx = grid_coords_bxyz[:, jnp.array([0, 3, 2, 1])]
+    idx, empty = voxel_query(
+        coords_bzyx, grid_xyz, centers, pind,
+        query_range=query_range, radius=radius, nsample=nsample,
+        new_mask=grid_mask,
+    )
+    keep = (~empty & grid_mask)[:, None, None]
+    grouped = jnp.where(keep, f_in[idx], 0.0)
+    gxyz = jnp.where(keep, centers[idx] - grid_xyz[:, None, :], 0.0)
+    pos = bn5(p["mlp_pos"]["bn"], gxyz @ p["mlp_pos"]["conv"]["kernel"])
+    h = jax.nn.relu(grouped + pos)
+    h = jnp.max(h, axis=1)
+    h = bn5(p["mlp_out"]["bn"], h @ p["mlp_out"]["conv"]["kernel"])
+    return jnp.where(grid_mask[:, None], jax.nn.relu(h), 0.0)
+
+
+def _fc_stack(p, x):
+    """[Linear(no bias) + BN1d + ReLU]×n; pcdet ``make_fc_layers``
+    (BN eps 1e-5 torch default)."""
+    for layer in p:
+        x = x @ layer["conv"]["kernel"]
+        x = (x - layer["bn"]["mean"]) / jnp.sqrt(layer["bn"]["var"] + 1e-5) \
+            * layer["bn"]["scale"] + layer["bn"]["bias"]
+        x = jax.nn.relu(x)
+    return x
+
+
+def level_grid_dims(base_grid_zyx):
+    """Per-level (Z, Y, X) dims for x_conv2/3/4, following VoxelBackBone8x's
+    conv arithmetic (k3 s2 p1 twice; conv4 has z padding 0)."""
+
+    def down(v, k, s, p):
+        return (v + 2 * p - k) // s + 1
+
+    nz, ny, nx = base_grid_zyx
+    dims = []
+    nz, ny, nx = down(nz, 3, 2, 1), down(ny, 3, 2, 1), down(nx, 3, 2, 1)
+    dims.append((nz, ny, nx))
+    nz, ny, nx = down(nz, 3, 2, 1), down(ny, 3, 2, 1), down(nx, 3, 2, 1)
+    dims.append((nz, ny, nx))
+    nz, ny, nx = down(nz, 3, 2, 0), down(ny, 3, 2, 1), down(nx, 3, 2, 1)
+    dims.append((nz, ny, nx))
+    return dims
+
+
+def voxel_rcnn_roi_head(
+    p,
+    rois: jnp.ndarray,
+    roi_mask: jnp.ndarray,
+    levels: list,
+    point_range,
+    voxel_size,
+    base_grid_zyx,
+    grid_size: int = 6,
+    query_ranges=((4, 4, 4), (4, 4, 4), (4, 4, 4)),
+    radii=(0.4, 0.8, 1.6),
+    nsamples=(16, 16, 16),
+):
+    """pcdet ``VoxelRCNNHead`` second stage: 6³ RoI grid pooling from the
+    x_conv2/3/4 sparse levels → shared FC → class-agnostic confidence +
+    box residual refinement (decoded in the RoI's local frame,
+    ``roi_head_template.generate_predicted_boxes``).
+
+    Returns (refined_boxes (N, 7), roi_scores (N,) sigmoid confidence).
+    """
+    from .detector import decode_boxes
+
+    N = rois.shape[0]
+    G3 = grid_size**3
+    grid_xyz = roi_grid_points(rois, grid_size).reshape(-1, 3)  # (N·G³, 3)
+    grid_mask = jnp.repeat(roi_mask, G3)
+
+    dims = level_grid_dims(base_grid_zyx)
+    pooled = []
+    for k, level in enumerate(levels):
+        level = dict(level, grid_zyx=dims[k])
+        vs = np.asarray(voxel_size) * level["stride"]
+        cell = jnp.floor(
+            (grid_xyz - jnp.asarray(point_range[:3])) / jnp.asarray(vs)
+        ).astype(jnp.int32)
+        # new_coords in the reference's (b, x, y, z) order (forward:84)
+        coords_bxyz = jnp.concatenate(
+            [jnp.zeros((grid_xyz.shape[0], 1), jnp.int32), cell], axis=1
+        )
+        pooled.append(
+            _neighbor_pool(
+                p["roi_grid_pool_layers"][k], level, grid_xyz, coords_bxyz,
+                grid_mask, point_range, voxel_size,
+                tuple(query_ranges[k]), float(radii[k]), int(nsamples[k]),
+            )
+        )
+    pooled = jnp.concatenate(pooled, axis=-1).reshape(N, -1)  # (N, G³·ΣC)
+
+    shared = _fc_stack(p["shared_fc_layer"], pooled)
+    cls_feat = _fc_stack(p["cls_fc_layers"], shared)
+    rcnn_cls = cls_feat @ p["cls_pred_layer"]["kernel"] + p["cls_pred_layer"]["bias"]
+    reg_feat = _fc_stack(p["reg_fc_layers"], shared)
+    rcnn_reg = reg_feat @ p["reg_pred_layer"]["kernel"] + p["reg_pred_layer"]["bias"]
+
+    # decode in the RoI local frame: anchors = rois with zero center/heading
+    local_rois = rois.at[:, 0:3].set(0.0).at[:, 6].set(0.0)
+    boxes_local = decode_boxes(rcnn_reg[:, :7], local_rois)
+    cos, sin = jnp.cos(rois[:, 6]), jnp.sin(rois[:, 6])
+    x = boxes_local[:, 0] * cos - boxes_local[:, 1] * sin
+    y = boxes_local[:, 0] * sin + boxes_local[:, 1] * cos
+    center = jnp.stack([x, y, boxes_local[:, 2]], axis=1) + rois[:, :3]
+    heading = boxes_local[:, 6] + rois[:, 6]
+    refined = jnp.concatenate(
+        [center, boxes_local[:, 3:6], heading[:, None]], axis=1
+    )
+    return refined, jax.nn.sigmoid(rcnn_cls[:, 0])

@@ -769,4 +769,45 @@ def convert_voxel_rcnn(
         dh["heads_list"].append(head)
         g += 1
 
-    return {"backbone_3d": b3, "backbone_2d": b2, "dense_head": dh}
+    out = {"backbone_3d": b3, "backbone_2d": b2, "dense_head": dh}
+
+    # ---- VoxelRCNN RoI head (second stage), when present
+    if any(k.startswith("roi_head.") for k in sd):
+        def conv1x1(prefix):  # Conv1d/Conv2d k=1 (no bias) → (I, O)
+            w = np.asarray(sd[f"{prefix}.weight"])
+            return {"kernel": w.reshape(w.shape[0], w.shape[1]).T}
+
+        rh = {"roi_grid_pool_layers": []}
+        lvl = 0
+        while f"roi_head.roi_grid_pool_layers.{lvl}.mlps_in.0.0.weight" in sd:
+            base = f"roi_head.roi_grid_pool_layers.{lvl}"
+            rh["roi_grid_pool_layers"].append({
+                "mlp_in": {"conv": conv1x1(f"{base}.mlps_in.0.0"),
+                           "bn": _bn_t(sd, f"{base}.mlps_in.0.1")},
+                "mlp_pos": {"conv": conv1x1(f"{base}.mlps_pos.0.0"),
+                            "bn": _bn_t(sd, f"{base}.mlps_pos.0.1")},
+                "mlp_out": {"conv": conv1x1(f"{base}.mlps_out.0.0"),
+                            "bn": _bn_t(sd, f"{base}.mlps_out.0.1")},
+            })
+            lvl += 1
+
+        def fc_stack(prefix):
+            idxs = sorted(
+                {int(k[len(prefix) + 1 :].split(".")[0]) for k in sd
+                 if k.startswith(prefix + ".") and k.endswith(".weight")
+                 and sd[k].ndim == 2}
+            )
+            return [
+                {"conv": {"kernel": _linear(sd[f"{prefix}.{i}.weight"])},
+                 "bn": _bn_t(sd, f"{prefix}.{i + 1}")}
+                for i in idxs
+            ]
+
+        rh["shared_fc_layer"] = fc_stack("roi_head.shared_fc_layer")
+        rh["cls_fc_layers"] = fc_stack("roi_head.cls_fc_layers")
+        rh["reg_fc_layers"] = fc_stack("roi_head.reg_fc_layers")
+        rh["cls_pred_layer"] = _lin(sd, "roi_head.cls_pred_layer")
+        rh["reg_pred_layer"] = _lin(sd, "roi_head.reg_pred_layer")
+        out["roi_head"] = rh
+
+    return out

@@ -234,3 +234,88 @@ def test_load_voxel_rcnn_from_pcdet(tmp_path):
     )
     assert boxes.shape == (16, 7) and len(names) == 16
     assert np.isfinite(np.asarray(boxes)).all()
+
+
+# ------------------------------------------------------------- RoI head
+
+
+def _min_roi_sd(level_chans=(8, 16, 16), mid=16, grid=6, fc=24):
+    r = np.random.RandomState(6)
+    sd = {}
+
+    def bn(c, p):
+        sd[f"{p}.weight"] = np.abs(r.randn(c)).astype(np.float32) + 0.5
+        sd[f"{p}.bias"] = (r.randn(c) * 0.1).astype(np.float32)
+        sd[f"{p}.running_mean"] = (r.randn(c) * 0.1).astype(np.float32)
+        sd[f"{p}.running_var"] = np.abs(r.randn(c)).astype(np.float32) + 0.5
+
+    for lvl, cin in enumerate(level_chans):
+        base = f"roi_head.roi_grid_pool_layers.{lvl}"
+        sd[f"{base}.mlps_in.0.0.weight"] = (r.randn(mid, cin, 1) * 0.2).astype(np.float32)
+        bn(mid, f"{base}.mlps_in.0.1")
+        sd[f"{base}.mlps_pos.0.0.weight"] = (r.randn(mid, 3, 1, 1) * 0.2).astype(np.float32)
+        bn(mid, f"{base}.mlps_pos.0.1")
+        sd[f"{base}.mlps_out.0.0.weight"] = (r.randn(mid, mid, 1) * 0.2).astype(np.float32)
+        bn(mid, f"{base}.mlps_out.0.1")
+
+    pre = grid**3 * mid * len(level_chans)
+    for name, din in (("shared_fc_layer", pre), ("cls_fc_layers", fc), ("reg_fc_layers", fc)):
+        sd[f"roi_head.{name}.0.weight"] = (r.randn(fc, din) * 0.05).astype(np.float32)
+        bn(fc, f"roi_head.{name}.1")
+    sd["roi_head.cls_pred_layer.weight"] = (r.randn(1, fc) * 0.1).astype(np.float32)
+    sd["roi_head.cls_pred_layer.bias"] = np.zeros(1, np.float32)
+    # zero regression → refined boxes must equal the proposals exactly
+    sd["roi_head.reg_pred_layer.weight"] = np.zeros((7, fc), np.float32)
+    sd["roi_head.reg_pred_layer.bias"] = np.zeros(7, np.float32)
+    return sd
+
+
+def test_roi_grid_points_rotation():
+    from lidarcrafter_tpu.metrics.models.voxel_rcnn import roi_grid_points
+
+    roi = jnp.asarray([[1.0, 2.0, 0.5, 4.0, 2.0, 1.0, 0.0],
+                       [1.0, 2.0, 0.5, 4.0, 2.0, 1.0, np.pi / 2]])
+    pts = np.asarray(roi_grid_points(roi, grid_size=4))
+    assert pts.shape == (2, 64, 3)
+    # axis-aligned roi: grid spans ±(size/2 − size/(2G)) around the center
+    ext0 = pts[0].max(0) - pts[0].min(0)
+    np.testing.assert_allclose(ext0, [4 * 0.75, 2 * 0.75, 1 * 0.75], atol=1e-5)
+    # 90° yaw swaps the x/y extents
+    ext1 = pts[1].max(0) - pts[1].min(0)
+    np.testing.assert_allclose(ext1, [2 * 0.75, 4 * 0.75, 1 * 0.75], atol=1e-5)
+    np.testing.assert_allclose(pts[1].mean(0), [1, 2, 0.5], atol=1e-5)
+
+
+def test_roi_head_refinement_end_to_end():
+    """Full detector with a roi_head: zero reg residuals keep the proposal
+    boxes bit-identical while the confidence is rescored by the second
+    stage."""
+    from lidarcrafter_tpu.metrics.models.voxel_rcnn import load_voxel_rcnn_from_pcdet
+
+    sd = {**_min_sparse_sd(layout="spconv2"), **_min_bev_sd(), **_min_head_sd(),
+          **_min_roi_sd()}
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = f"{td}/vr.pth"
+        torch.save({"model_state": {k: torch.from_numpy(v) for k, v in sd.items()}}, ckpt)
+        det = load_voxel_rcnn_from_pcdet(
+            ckpt,
+            point_range=(-8.0, -8.0, -3.0, 8.0, 8.0, 1.0),
+            voxel_size=(0.1, 0.1, 0.1),
+            max_voxels=8192,
+            topk_per_head=8,
+        )
+    assert "roi_head" in det.params
+
+    r = np.random.RandomState(7)
+    pts = np.concatenate(
+        [r.rand(2048, 2) * 14 - 7, r.rand(2048, 1) * 3 - 2.5, r.rand(2048, 1)], 1
+    ).astype(np.float32)
+    mask = np.ones((2048,), bool)
+
+    per_head = det(jnp.asarray(pts), jnp.asarray(mask))
+    proposals = np.concatenate([np.asarray(b) for b, _, _ in per_head])
+    boxes, scores, names, valid = det.predict(jnp.asarray(pts), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(boxes), proposals, rtol=1e-4, atol=1e-5)
+    s = np.asarray(scores)
+    assert s.shape == (16,) and np.isfinite(s).all() and ((s >= 0) & (s <= 1)).all()
