@@ -16,8 +16,11 @@ import jax
 
 def initialize_distributed(**kwargs) -> None:
     """cf. ``common_utils.init_dist_pytorch/init_dist_slurm`` (:162-207):
-    on TPU pods this is ``jax.distributed.initialize`` (env-driven)."""
-    if jax.process_count() == 1 and not kwargs:
+    on TPU pods this is ``jax.distributed.initialize`` (env-driven).
+
+    With explicit kwargs we must NOT touch ``jax.process_count()`` first —
+    it would initialise the XLA backend and make the cluster init illegal."""
+    if not kwargs and jax.process_count() == 1:
         return  # single host; nothing to do
     jax.distributed.initialize(**kwargs)
 
