@@ -264,3 +264,44 @@ def test_get_next_frame_points_composition_parity():
 
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_temporal_rollout_batched_scenes():
+    """S=2 scenes roll out in one pass; scene 0 with zero motion must match
+    shape/finiteness and per-scene trajectories stay independent."""
+    cond_engine, cond_params = _branch(10, extra_in=False, seed=0)
+    auto_engine, auto_params = _branch(11, extra_in=True, seed=10)
+    utils = LiDARUtility.create((H, W), "log_depth", 1.45, 80.0)
+
+    pipeline = TemporalRollout(
+        cond_engine=cond_engine, cond_params=cond_params,
+        autoreg_engine=auto_engine, autoreg_params=auto_params,
+        lidar_utils=utils, num_sampling_steps=2, sampling_mode="ddim",
+        max_points_per_obj=64,
+    )
+
+    rng = np.random.RandomState(1)
+    S, K = 2, 3
+    boxes0 = np.zeros((S, K, 7), np.float32)
+    boxes0[..., 0] = [10, -12, 20]
+    boxes0[..., 1] = [4, -6, -2]
+    boxes0[..., 3:6] = 3.0
+    classes = np.tile(np.arange(1, K + 1, dtype=np.float32), (S, 1))
+    trajs = rng.uniform(0.1, 0.6, (S, K + 1, 6, 2)).astype(np.float32)
+    trajs[0] = 0.0  # scene 0: static
+
+    first_batch = {
+        "scaled_gt_boxes": jnp.asarray(rng.rand(S, L, 9).astype(np.float32)),
+        "gt_boxes_2d": jnp.asarray(rng.rand(S, L, 4).astype(np.float32)),
+        "is_valid_obj": jnp.ones((S, L)),
+        "concat_cond": jnp.asarray(rng.rand(S, H, W, 10).astype(np.float32)),
+    }
+
+    frames = pipeline.rollout(
+        first_batch, trajs, boxes0, classes,
+        jax.random.PRNGKey(1), num_frames=2, interp_M=8,
+    )
+    assert len(frames) == 3
+    for f in frames:
+        assert f.shape == (S, H, W, 2)
+        assert np.isfinite(f).all()
