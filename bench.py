@@ -144,9 +144,10 @@ def bench_layout_cond(name="nuscenes-auto-reg-v2"):
     return _median_rate(sample, rng, B, reps=2, rounds=2)
 
 
-def bench_rollout(frames=15):
-    """Full 1+15-frame autoregressive rollout wall-clock, on-device pipeline
-    (cf. ``sample_and_save_temporal.py:203-335``)."""
+def bench_rollout(frames=15, scenes=1):
+    """Full 1+15-frame autoregressive rollout, on-device pipeline
+    (cf. ``sample_and_save_temporal.py:203-335``), batched over ``scenes``.
+    Returns (wall seconds, frames/s)."""
     from lidarcrafter_tpu.pipeline import TemporalRollout
 
     cfg, engine, params, batch, _, lidar_utils = _build_cond_stack(
@@ -155,7 +156,11 @@ def bench_rollout(frames=15):
     # frame-0 generator and autoregressive generator share the stack here
     # (both are LayoutUnetV1 topologies; box-layout-v6 differs only in cond
     # channels) — wall-clock per frame is what we measure.
-    one = {k: v[:1] for k, v in batch.items()}
+    S = scenes
+    sb = {
+        k: jnp.broadcast_to(v[:1], (S, *v.shape[1:])) if v.shape[0] < S else v[:S]
+        for k, v in batch.items()
+    }
     pipeline = TemporalRollout(
         cond_engine=engine, cond_params=params,
         autoreg_engine=engine, autoreg_params=params,
@@ -164,22 +169,22 @@ def bench_rollout(frames=15):
     )
     K = 4
     r = np.random.RandomState(0)
-    trajs = (r.rand(K + 1, 6, 2) * 0.5).astype(np.float32)
+    trajs = (r.rand(S, K + 1, 6, 2) * 0.5).astype(np.float32)
     boxes0 = np.concatenate(
-        [r.rand(K, 2) * 30 - 15, r.rand(K, 1) * 2 - 1,
-         1 + r.rand(K, 3) * 3, r.rand(K, 1) * 3],
-        axis=1,
+        [r.rand(S, K, 2) * 30 - 15, r.rand(S, K, 1) * 2 - 1,
+         1 + r.rand(S, K, 3) * 3, r.rand(S, K, 1) * 3],
+        axis=2,
     ).astype(np.float32)
-    classes = np.arange(1, K + 1, dtype=np.float32)
+    classes = np.tile(np.arange(1, K + 1, dtype=np.float32), (S, 1))
 
     rng = jax.random.PRNGKey(4)
     # warmup: 1 frame (compiles every jitted piece)
-    pipeline.rollout(one, trajs, boxes0, classes, rng, num_frames=1)
+    pipeline.rollout(sb, trajs, boxes0, classes, rng, num_frames=1)
     t0 = time.perf_counter()
-    out = pipeline.rollout(one, trajs, boxes0, classes, rng, num_frames=frames)
+    out = pipeline.rollout(sb, trajs, boxes0, classes, rng, num_frames=frames)
     dt = time.perf_counter() - t0
     assert len(out) == frames + 1
-    return dt
+    return dt, (frames + 1) * S / dt
 
 
 def main():
@@ -190,7 +195,12 @@ def main():
     if os.environ.get("BENCH_FULL", "1") != "0":
         try:
             extra["layout_cond_fps_50step_ddim"] = round(bench_layout_cond(), 3)
-            extra["rollout_16frame_wall_s_50step_ddim"] = round(bench_rollout(), 2)
+            wall, _ = bench_rollout(scenes=1)
+            extra["rollout_16frame_wall_s_50step_ddim"] = round(wall, 2)
+            s8 = int(os.environ.get("BENCH_ROLLOUT_SCENES", "8"))
+            if s8 > 1:
+                _, fps = bench_rollout(scenes=s8)
+                extra[f"rollout_scenes{s8}_frames_per_sec"] = round(fps, 2)
         except Exception as e:  # sub-benches must never sink the headline
             extra["error"] = f"{type(e).__name__}: {e}"
 
