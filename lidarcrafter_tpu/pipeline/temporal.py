@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from ..datasets import rollout as R
-from ..datasets import transforms as T
 from ..ops.projection import convert_boxes_to_2d, points_to_range_image
 from ..training.preprocess import (
     postprocess_sample,
@@ -68,16 +67,6 @@ class TemporalRollout:
             min_depth=self.lidar_utils.min_depth,
             max_depth=self.lidar_utils.max_depth,
         )
-
-    def _frame_condition(self, boxes_with_class: jnp.ndarray, box_mask: jnp.ndarray):
-        """Future boxes → concat-cond channels; cf. ``CustomDataset`` path
-        (``pipe_related.get_mask_cond`` → ``pre_process``)."""
-        H, W = self.lidar_utils.resolution
-        _, condition_mask, loss_weight = convert_boxes_to_2d(
-            boxes_with_class, box_mask, H=H, W=W
-        )
-        batch = {"condition_mask": condition_mask[None]}
-        return preprocess_condition_mask(batch, self.lidar_utils, self.num_classes)
 
     def generate_first_frame(self, batch: dict, rng: jax.Array) -> jnp.ndarray:
         """Layout-conditioned frame 0; cf. ``sample_and_save_temporal.py:222-230``."""
