@@ -1,0 +1,30 @@
+"""Subprocess smoke tests for the generation CLIs at reduced resolution."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run(args, timeout=560):
+    return subprocess.run(
+        [sys.executable, *args], cwd=REPO, capture_output=True, text=True,
+        timeout=timeout,
+    )
+
+
+def test_generate_flow_cli(tmp_path):
+    r = _run(["tools/generate_flow.py", "-n", "1",
+              "--resolution", "32", "64", "-o", str(tmp_path)])
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert (tmp_path / "flow_sample_0000.txt").exists()
+    assert (tmp_path / "flow_sample_0000_depth.npy").exists()
+
+
+def test_generate_cond_cli(tmp_path):
+    r = _run(["tools/generate_cond.py", "-c", "nuscenes-auto-reg-v2",
+              "--synthetic", "-n", "1", "--num-steps", "2", "--mode", "ddim",
+              "--resolution", "32", "64", "-o", str(tmp_path)])
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert (tmp_path / "cond_sample_0000.txt").exists()

@@ -24,7 +24,14 @@ def main():
     args = parser.parse_args()
 
     import numpy as np
+
+    import os as _os
+
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from lidarcrafter_tpu.configs import get_config
