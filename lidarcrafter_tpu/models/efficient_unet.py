@@ -27,6 +27,7 @@ import numpy as np
 from ..utils.lidar import get_linear_ray_angles_np
 from . import encoding as enc
 from .ops import (
+    MFSelfAttention2d,
     Resample,
     ResidualBlock,
     RingConv,
@@ -80,6 +81,7 @@ class UNetBlock(nn.Module):
     down: int = 1
     dropout: float = 0.0
     ring: bool = False
+    mf_attn: bool = False  # timm qk-norm attention (MeanFlow variant)
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, temb: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -96,7 +98,8 @@ class UNetBlock(nn.Module):
                 name=f"res{i}",
             )(h, temb)
         if self.attn:
-            h = SelfAttention2d(
+            attn_cls = MFSelfAttention2d if self.mf_attn else SelfAttention2d
+            h = attn_cls(
                 num_heads=self.attn_num_heads,
                 gn_num_groups=self.gn_num_groups,
                 gn_eps=self.gn_eps,
@@ -126,6 +129,7 @@ class EfficientUNet(nn.Module):
     attn_num_heads: int = 8
     coords_encoding: str | None = "spherical_harmonics"
     ring: bool = True
+    mf_attn: bool = False  # MeanFlow variant: timm qk-norm attention blocks
     use_ray_angle_coords: bool = False
     fov_up: float = 10.0
     fov_down: float = -30.0
@@ -167,6 +171,7 @@ class EfficientUNet(nn.Module):
             attn_num_heads=self.attn_num_heads,
             dropout=0.0,
             ring=self.ring,
+            mf_attn=self.mf_attn,
         )
 
         h = RingConv(C[0], ring=self.ring, name="in_conv")(h)
@@ -206,7 +211,10 @@ class EfficientUNetCond(EfficientUNet):
 
 class MFEfficientUNet(EfficientUNet):
     """Two-time (t, r) UNet for MeanFlow; cf. ``efficient_mf_unet.py:193-315``:
-    identical topology with dual time embeddings summed (:280-315)."""
+    same trunk with dual time embeddings summed (:280-315) and timm qk-norm
+    attention blocks (:32-57) instead of the base MHA."""
+
+    mf_attn: bool = True
 
     @nn.compact
     def __call__(

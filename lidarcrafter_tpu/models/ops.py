@@ -214,6 +214,47 @@ class SelfAttention2d(nn.Module):
         return (x + h) * self.scale
 
 
+class MFSelfAttention2d(nn.Module):
+    """MeanFlow attention block; cf. ``efficient_mf_unet.py:32-57``:
+    GroupNorm → timm ``Attention(qkv_bias=True, qk_norm=True,
+    norm_layer=RMSNorm)`` → residual → × 1/sqrt(2).
+
+    The qk-norm is the reference's scalar-gain RMSNorm over the head dim
+    (``F.normalize(x, -1) · √d · g``, ``efficient_mf_unet.py:23-30``); the
+    out projection is NOT zero-initialised (timm default), unlike the base
+    EfficientUNet's MHA block.
+    """
+
+    num_heads: int = 8
+    gn_num_groups: int = 8
+    gn_eps: float = 1e-6
+    scale: float = 1.0 / math.sqrt(2.0)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        nh = self.num_heads
+        dh = C // nh
+        h = nn.GroupNorm(num_groups=self.gn_num_groups, epsilon=self.gn_eps)(x)
+        h = h.reshape(B, H * W, C)
+        qkv = nn.Dense(3 * C, name="qkv")(h)
+        qkv = qkv.reshape(B, H * W, 3, nh, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, nh, dh)
+
+        def rms(t, name):
+            g = self.param(name, nn.initializers.ones, (1,))
+            n = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+            return n * (dh**0.5) * g
+
+        q = rms(q, "q_norm_g") * dh**-0.5
+        k = rms(k, "k_norm_g")
+        logits = jnp.einsum("blhd,bmhd->bhlm", q, k)
+        w = nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhlm,bmhd->blhd", w, v).reshape(B, H * W, C)
+        out = nn.Dense(C, name="proj")(out)
+        return (x + out.reshape(B, H, W, C)) * self.scale
+
+
 class ResidualBlock(nn.Module):
     """GN→SiLU→conv, AdaGN(emb)→SiLU→zero-conv, skip, × 1/sqrt(2).
 

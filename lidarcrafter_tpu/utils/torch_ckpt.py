@@ -57,13 +57,19 @@ def strip_prefix(state_dict: Mapping, prefix: str) -> dict:
 
 
 def convert_efficient_unet(
-    state_dict: Mapping[str, "np.ndarray"], attn_num_heads: int = 8
+    state_dict: Mapping[str, "np.ndarray"], attn_num_heads: int = 8,
+    mf: bool = False,
 ) -> dict:
     """Reference ``EfficientUNet`` state_dict → flax params for
     :class:`lidarcrafter_tpu.models.efficient_unet.EfficientUNet`.
 
     Accepts the raw module state_dict (tensors or numpy); strip engine
     prefixes (e.g. ``model.``) with :func:`strip_prefix` first.
+
+    ``mf=True`` handles the MeanFlow variant (``efficient_mf_unet.py``):
+    dual ``start/end_time_embedding`` MLPs and timm qk-norm attention
+    (``attn.qkv`` / ``q_norm.g`` / ``k_norm.g`` / ``attn.proj``) instead of
+    the packed ``nn.MultiheadAttention``.
     """
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     out: dict = {}
@@ -76,9 +82,13 @@ def convert_efficient_unet(
         node[parts[-1]] = np.asarray(leaf, np.float32)
 
     # time embedding (Sequential indices 1 and 3)
-    for ref_i, ours in (("1", "Dense_0"), ("3", "Dense_1")):
-        put(f"time_embedding/{ours}/kernel", _linear(sd[f"time_embedding.{ref_i}.weight"]))
-        put(f"time_embedding/{ours}/bias", sd[f"time_embedding.{ref_i}.bias"])
+    temb_names = (
+        ("start_time_embedding", "end_time_embedding") if mf else ("time_embedding",)
+    )
+    for tname in temb_names:
+        for ref_i, ours in (("1", "Dense_0"), ("3", "Dense_1")):
+            put(f"{tname}/{ours}/kernel", _linear(sd[f"{tname}.{ref_i}.weight"]))
+            put(f"{tname}/{ours}/bias", sd[f"{tname}.{ref_i}.bias"])
 
     put("in_conv/Conv_0/kernel", _conv(sd["in_conv.weight"]))
     put("in_conv/Conv_0/bias", sd["in_conv.bias"])
@@ -117,15 +127,23 @@ def convert_efficient_unet(
             a = strip_prefix(b, "self_attn_block.")
             put(f"{blk}/attn/GroupNorm_0/scale", a["norm.weight"])
             put(f"{blk}/attn/GroupNorm_0/bias", a["norm.bias"])
-            mha = _mha(
-                a["attn.in_proj_weight"], a["attn.in_proj_bias"],
-                a["attn.out_proj.weight"], a["attn.out_proj.bias"],
-                attn_num_heads,
-            )
-            base = f"{blk}/attn/MultiHeadDotProductAttention_0"
-            for mod, leaves in mha.items():
-                for leaf, val in leaves.items():
-                    put(f"{base}/{mod}/{leaf}", val)
+            if mf:
+                put(f"{blk}/attn/qkv/kernel", _linear(a["attn.qkv.weight"]))
+                put(f"{blk}/attn/qkv/bias", a["attn.qkv.bias"])
+                put(f"{blk}/attn/q_norm_g", a["attn.q_norm.g"])
+                put(f"{blk}/attn/k_norm_g", a["attn.k_norm.g"])
+                put(f"{blk}/attn/proj/kernel", _linear(a["attn.proj.weight"]))
+                put(f"{blk}/attn/proj/bias", a["attn.proj.bias"])
+            else:
+                mha = _mha(
+                    a["attn.in_proj_weight"], a["attn.in_proj_bias"],
+                    a["attn.out_proj.weight"], a["attn.out_proj.bias"],
+                    attn_num_heads,
+                )
+                base = f"{blk}/attn/MultiHeadDotProductAttention_0"
+                for mod, leaves in mha.items():
+                    for leaf, val in leaves.items():
+                        put(f"{base}/{mod}/{leaf}", val)
     return {"params": out}
 
 

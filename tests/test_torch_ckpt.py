@@ -1025,3 +1025,92 @@ def test_scene_graph_numerical_parity_with_reference():
         np.asarray(latent), want_latent.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(obj_embed), want_obj_embed.numpy(), rtol=1e-4, atol=1e-5)
+
+
+class _TimmRMSReadyAttention(torch.nn.Module):
+    """timm ``vision_transformer.Attention`` reconstruction (qkv_bias +
+    qk_norm path, unfused) — timm itself is not installed; the reference
+    imports it at ``efficient_mf_unet.py:8``.  Key names (qkv / q_norm /
+    k_norm / proj) match released checkpoints."""
+
+    def __init__(self, dim, num_heads=8, qkv_bias=False, qk_norm=False,
+                 norm_layer=torch.nn.LayerNorm, **kw):
+        super().__init__()
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.scale = self.head_dim ** -0.5
+        self.qkv = torch.nn.Linear(dim, dim * 3, bias=qkv_bias)
+        self.q_norm = norm_layer(self.head_dim) if qk_norm else torch.nn.Identity()
+        self.k_norm = norm_layer(self.head_dim) if qk_norm else torch.nn.Identity()
+        self.proj = torch.nn.Linear(dim, dim)
+        self.fused_attn = False
+
+    def forward(self, x):
+        B, N, C = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.num_heads, self.head_dim)
+        qkv = qkv.permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.unbind(0)
+        q, k = self.q_norm(q), self.k_norm(k)
+        q = q * self.scale
+        attn = (q @ k.transpose(-2, -1)).softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        return self.proj(x)
+
+
+def _load_ref_mf_unet():
+    pkg = sys.modules["refunets"]
+    if "refunets.efficient_mf_unet" in sys.modules:
+        return sys.modules["refunets.efficient_mf_unet"]
+    timm = types.ModuleType("timm")
+    models_m = types.ModuleType("timm.models")
+    vt = types.ModuleType("timm.models.vision_transformer")
+    vt.Attention = _TimmRMSReadyAttention
+    models_m.vision_transformer = vt
+    timm.models = models_m
+    for n, m in (("timm", timm), ("timm.models", models_m),
+                 ("timm.models.vision_transformer", vt)):
+        sys.modules.setdefault(n, m)
+    spec = importlib.util.spec_from_file_location(
+        "refunets.efficient_mf_unet",
+        REF / "lidargen/models/unets/efficient_mf_unet.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["refunets.efficient_mf_unet"] = mod
+    spec.loader.exec_module(mod)
+    setattr(pkg, "efficient_mf_unet", mod)
+    return mod
+
+
+def test_mf_efficient_unet_numerical_parity_with_reference():
+    """Executed reference MFEfficientUNet (dual time embeddings + timm
+    qk-norm attention, ``efficient_mf_unet.py:193-315``) vs converted —
+    MeanFlow checkpoints ingest faithfully."""
+    from lidarcrafter_tpu.models.efficient_unet import MFEfficientUNet
+
+    ref_mf = _load_ref_mf_unet()
+    torch.manual_seed(7)
+    tmodel = ref_mf.MFEfficientUNet(**KW).eval()
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.02)
+
+    r = np.random.RandomState(7)
+    x = r.randn(2, 2, H, W).astype(np.float32)
+    t = r.rand(2).astype(np.float32)
+    s = r.rand(2).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(
+            torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(s)
+        ).numpy()
+
+    jmodel = MFEfficientUNet(**KW)
+    params = convert_efficient_unet(
+        {k: v.numpy() for k, v in tmodel.state_dict().items()},
+        attn_num_heads=KW["attn_num_heads"], mf=True,
+    )
+    got = np.asarray(jmodel.apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(t), jnp.asarray(s),
+    )).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-5)
