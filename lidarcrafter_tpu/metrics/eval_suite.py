@@ -2,9 +2,10 @@
 
 ``evaluate(reference, samples, metrics, data)`` dispatches over the same
 metric names the reference supports.  Scene-distribution metrics that need
-perceptual backbones (frid/fsvd/fpvd) accept precomputed logits via the
-``features`` argument until the extractor ports land; cd/emd/jsd/mmd run fully
-on-device from raw point lists.
+perceptual backbones (frid/fsvd/fpvd) either accept precomputed logits via
+the ``features`` argument or extract them with the native backbones
+(``metrics/extractor/``: rangenet, sparse_unet) via the ``pretrained-root``
+loaders below; cd/emd/jsd/mmd run fully on-device from raw point lists.
 """
 
 from __future__ import annotations

@@ -6,11 +6,12 @@ extract_foreground_samples.py:20-25``; ``pcdet.models.build_network`` at
 ``lidargen/metrics/fg_object.py:23-26``).  The detector is NOT vendored in
 the reference, so this module re-implements the pcdet module chain the
 checkpoint names encode — MeanVFE → VoxelBackBone8x (spconv) →
-HeightCompression → BaseBEVBackbone → CenterHead — on our sparse-conv
+HeightCompression → BaseBEVBackbone → CenterHead → VoxelRCNNHead (RoI
+second stage, when the checkpoint carries one) — on our sparse-conv
 primitives (``ops/sparse.py``), with :func:`~lidarcrafter_tpu.utils.
 torch_ckpt.convert_voxel_rcnn` mapping released pcdet state_dicts onto it.
-The VoxelRCNN RoI refinement stage rescoring proposals is not yet ported;
-detections here are the CenterHead first-stage outputs.
+``predict`` applies pcdet's post-processing (class-agnostic greedy rotated
+NMS + score threshold) before emitting the flat detection set.
 
 Conventions follow pcdet: voxel coords are (z, y, x); BatchNorm eps=1e-3
 (``nn.BatchNorm1d(eps=1e-3, momentum=0.01)`` throughout pcdet); all BNs run
@@ -48,26 +49,31 @@ def _subm_block(p, f, coords, mask):
     return jnp.where(mask[:, None], f, 0.0)
 
 
-def _spconv_block(p, f, coords, mask, *, kernel_size, stride, padding, max_voxels):
-    """SparseConv3d(stride, bias=False) + BN1d + ReLU."""
+def _spconv_block(
+    p, f, coords, mask, *, kernel_size, stride, padding, max_voxels, in_spatial
+):
+    """SparseConv3d(stride, bias=False) + BN1d + ReLU.  ``in_spatial`` (the
+    stage's input (Z, Y, X) dims) bounds the output sites to spconv's
+    ``(in + 2p − k)//s + 1`` grid."""
     f, coords, mask = sparse_conv3d_strided(
         f, coords, mask, p["conv"]["kernel"],
         kernel_size=kernel_size, stride=stride, padding=padding,
-        max_voxels=max_voxels,
+        max_voxels=max_voxels, out_spatial=in_spatial,
     )
     f = jax.nn.relu(_bn(p["bn"], f))
     return jnp.where(mask[:, None], f, 0.0), coords, mask
 
 
 def voxel_backbone_8x(
-    p, feats, coords, mask,
+    p, feats, coords, mask, grid_zyx,
     max_voxels=(65536, 32768, 16384, 8192),
     return_levels: bool = False,
 ):
     """pcdet ``VoxelBackBone8x`` (spconv_backbone.py): conv_input + 4 stages +
-    conv_out.  ``coords`` are (z, y, x).  Returns the 8x-downsampled level;
-    with ``return_levels`` also the x_conv2/3/4 intermediates (stride 2/4/8)
-    the VoxelRCNN RoI head pools from."""
+    conv_out.  ``coords`` are (z, y, x); ``grid_zyx`` the base voxel grid dims
+    (spconv sparse_shape) bounding every stage's output sites.  Returns the
+    8x-downsampled level; with ``return_levels`` also the x_conv2/3/4
+    intermediates (stride 2/4/8) the VoxelRCNN RoI head pools from."""
     f = _subm_block(p["conv_input"], feats, coords, mask)
     f = _subm_block(p["conv1"][0], f, coords, mask)
 
@@ -76,11 +82,13 @@ def voxel_backbone_8x(
         dict(kernel_size=(3, 3, 3), stride=(2, 2, 2), padding=(1, 1, 1)),
         dict(kernel_size=(3, 3, 3), stride=(2, 2, 2), padding=(0, 1, 1)),
     ]
+    stage_dims = [tuple(grid_zyx)] + [tuple(d) for d in level_grid_dims(grid_zyx)]
     levels = []
     for i, name in enumerate(("conv2", "conv3", "conv4")):
         blocks = p[name]
         f, coords, mask = _spconv_block(
-            blocks[0], f, coords, mask, **stage_geom[i], max_voxels=max_voxels[i + 1]
+            blocks[0], f, coords, mask, **stage_geom[i],
+            max_voxels=max_voxels[i + 1], in_spatial=stage_dims[i],
         )
         for sub in blocks[1:]:
             f = _subm_block(sub, f, coords, mask)
@@ -92,7 +100,7 @@ def voxel_backbone_8x(
     f, coords, mask = _spconv_block(
         p["conv_out"], f, coords, mask,
         kernel_size=(3, 1, 1), stride=(2, 1, 1), padding=(0, 0, 0),
-        max_voxels=max_voxels[-1],
+        max_voxels=max_voxels[-1], in_spatial=stage_dims[3],
     )
     if return_levels:
         return f, coords, mask, levels
@@ -100,13 +108,20 @@ def voxel_backbone_8x(
 
 
 def height_compression(f, coords, mask, nz, ny, nx):
-    """pcdet ``HeightCompression``: dense (z, y, x, C) → (y, x, z·C)."""
+    """pcdet ``HeightCompression``: dense (z, y, x, C) → (y, x, z·C).
+    Out-of-range coords are dropped (never clipped onto edge pixels)."""
     C = f.shape[-1]
     dense = jnp.zeros((nz, ny, nx, C), f.dtype)
-    zi = jnp.where(mask, jnp.clip(coords[:, 0], 0, nz - 1), nz)
-    yi = jnp.clip(coords[:, 1], 0, ny - 1)
-    xi = jnp.clip(coords[:, 2], 0, nx - 1)
-    dense = dense.at[zi, yi, xi].add(jnp.where(mask[:, None], f, 0.0), mode="drop")
+    inb = (
+        mask
+        & (coords[:, 0] >= 0) & (coords[:, 0] < nz)
+        & (coords[:, 1] >= 0) & (coords[:, 1] < ny)
+        & (coords[:, 2] >= 0) & (coords[:, 2] < nx)
+    )
+    zi = jnp.where(inb, coords[:, 0], nz)
+    dense = dense.at[zi, coords[:, 1], coords[:, 2]].add(
+        jnp.where(inb[:, None], f, 0.0), mode="drop"
+    )
     return jnp.transpose(dense, (1, 2, 0, 3)).reshape(ny, nx, nz * C)
 
 
@@ -217,6 +232,10 @@ class VoxelRCNNCenterHead:
     max_voxels: int = 65536
     topk_per_head: int = 128
     score_thresh: float = 0.1
+    # pcdet POST_PROCESSING.NMS_CONFIG (class-agnostic rotated NMS; the
+    # nuScenes CenterPoint/VoxelRCNN configs use THRESH 0.2, PRE 1000, POST 83)
+    nms_thresh: float = 0.2
+    nms_post_maxsize: int = 83
 
     @property
     def grid_zyx(self):
@@ -239,12 +258,9 @@ class VoxelRCNNCenterHead:
         nz = down(nz, 3, 2, 0)  # conv_out, z only
         return nz, ny, nx
 
-    def __call__(self, points: jnp.ndarray, point_mask: jnp.ndarray):
-        """points (N, 3+F) → list of per-group (boxes (k,7), scores, labels).
-
-        When the checkpoint carries a ``roi_head``, CenterHead detections are
-        treated as proposals and refined/rescored by the VoxelRCNN second
-        stage (pcdet ``VoxelRCNNHead``)."""
+    def forward(self, points: jnp.ndarray, point_mask: jnp.ndarray):
+        """points (N, 3+F) → (per-group [(boxes (k,7), scores, labels)],
+        sparse backbone levels for the RoI second stage)."""
         pr = jnp.asarray(self.point_range)
         inr = (
             point_mask
@@ -260,7 +276,7 @@ class VoxelRCNNCenterHead:
             zyx, points, inr, max_voxels=self.max_voxels
         )
         f, c, m, levels = voxel_backbone_8x(
-            self.params["backbone_3d"], vox_feats, coords, vmask,
+            self.params["backbone_3d"], vox_feats, coords, vmask, self.grid_zyx,
             return_levels=True,
         )
         nz, ny, nx = self._bev_zyx()
@@ -275,29 +291,43 @@ class VoxelRCNNCenterHead:
                 head_out, pr, voxel_xy, k=self.topk_per_head
             )
             out.append((boxes, scores, cls))
-        self._levels = levels  # kept for the RoI second stage (predict)
-        return out
+        return out, levels
+
+    def __call__(self, points: jnp.ndarray, point_mask: jnp.ndarray):
+        """points (N, 3+F) → list of per-group (boxes (k,7), scores, labels)
+        (raw CenterHead top-k proposals, no post-processing)."""
+        return self.forward(points, point_mask)[0]
 
     def predict(self, points, point_mask):
         """Flat detections: (boxes (K,7), scores, class names list, valid).
 
         With a ``roi_head`` in the checkpoint, the flat CenterHead proposal
-        set is refined/rescored ONCE by the VoxelRCNN second stage."""
-        per_head = self(points, point_mask)
+        set is refined/rescored ONCE by the VoxelRCNN second stage.  pcdet
+        ``Detector3DTemplate.post_processing`` then runs class-agnostic
+        greedy rotated NMS (NMS_CONFIG) and the final score threshold;
+        ``valid`` encodes both, so ``boxes[valid]`` matches the reference's
+        deduplicated detection set (``extract_foreground_samples.py:54-121``).
+        """
+        from ...ops.iou3d import nms
+
+        per_head, levels = self.forward(points, point_mask)
         boxes = jnp.concatenate([b for b, _, _ in per_head], axis=0)
         scores = jnp.concatenate([s for _, s, _ in per_head], axis=0)
         if "roi_head" in self.params:
             boxes, scores = voxel_rcnn_roi_head(
                 self.params["roi_head"], boxes,
-                jnp.ones((boxes.shape[0],), bool), self._levels,
+                jnp.ones((boxes.shape[0],), bool), levels,
                 self.point_range, self.voxel_size, self.grid_zyx,
             )
+        order, keep = nms(boxes, scores, self.nms_thresh)
+        keep &= jnp.cumsum(keep) <= self.nms_post_maxsize  # NMS_POST_MAXSIZE
+        nms_keep = jnp.zeros((boxes.shape[0],), bool).at[order].set(keep)
         names = []
         for g, (_, _, c) in enumerate(per_head):
             group = list(self.class_groups[g])
             names.extend([group[int(ci)] for ci in np.asarray(c)])
-        valid = np.asarray(scores) >= self.score_thresh
-        return boxes, scores, names, jnp.asarray(valid)
+        valid = nms_keep & (scores >= self.score_thresh)
+        return boxes, scores, names, valid
 
 
 # nuScenes CenterHead class grouping (pcdet CLASS_NAMES_EACH_HEAD convention)
@@ -357,13 +387,18 @@ def roi_grid_points(rois: jnp.ndarray, grid_size: int = 6) -> jnp.ndarray:
 
 def dense_point_index_grid(coords_zyx, mask, nz, ny, nx):
     """(V, 3) zyx coords → (1, Z, Y, X) int32 grid of voxel row indices
-    (−1 = empty); pcdet ``common_utils.generate_voxel2pinds``."""
+    (−1 = empty); pcdet ``common_utils.generate_voxel2pinds``.  Out-of-range
+    coords are dropped, not clipped onto edge cells."""
     grid = jnp.full((nz, ny, nx), -1, jnp.int32)
-    zi = jnp.where(mask, jnp.clip(coords_zyx[:, 0], 0, nz - 1), nz)
-    yi = jnp.clip(coords_zyx[:, 1], 0, ny - 1)
-    xi = jnp.clip(coords_zyx[:, 2], 0, nx - 1)
+    inb = (
+        mask
+        & (coords_zyx[:, 0] >= 0) & (coords_zyx[:, 0] < nz)
+        & (coords_zyx[:, 1] >= 0) & (coords_zyx[:, 1] < ny)
+        & (coords_zyx[:, 2] >= 0) & (coords_zyx[:, 2] < nx)
+    )
+    zi = jnp.where(inb, coords_zyx[:, 0], nz)
     idx = jnp.arange(coords_zyx.shape[0], dtype=jnp.int32)
-    return grid.at[zi, yi, xi].set(idx, mode="drop")[None]
+    return grid.at[zi, coords_zyx[:, 1], coords_zyx[:, 2]].set(idx, mode="drop")[None]
 
 
 def _neighbor_pool(p, level, grid_xyz, grid_coords_bxyz, grid_mask,

@@ -200,7 +200,7 @@ def sparse_downsample2(
     ) & (shi_p < _KEY_MAX)
     slot = jnp.cumsum(first) - 1
     n_out = jnp.sum(first)
-    out_mask = jnp.arange(max_voxels) < n_out
+    out_mask = jnp.arange(max_voxels) < jnp.minimum(n_out, max_voxels)
     out_coords = jnp.zeros((max_voxels, 3), jnp.int32)
     write = jnp.where(first, slot, max_voxels)
     out_coords = out_coords.at[write].set(parent[order], mode="drop")
@@ -360,7 +360,10 @@ def sparse_upsample2(
     return jnp.where(fine_mask[:, None], out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("kernel_size", "stride", "padding", "max_voxels"))
+@partial(
+    jax.jit,
+    static_argnames=("kernel_size", "stride", "padding", "max_voxels", "out_spatial"),
+)
 def sparse_conv3d_strided(
     features: jnp.ndarray,
     coords: jnp.ndarray,
@@ -370,11 +373,15 @@ def sparse_conv3d_strided(
     stride: tuple[int, int, int] = (2, 2, 2),
     padding: tuple[int, int, int] = (1, 1, 1),
     max_voxels: int = 65536,
+    out_spatial: tuple[int, int, int] | None = None,
 ):
     """Regular (non-submanifold) strided sparse conv with spconv output-site
     semantics (``spconv.SparseConv3d``): output sites are every position the
     kernel window reaches from an active input —
-    ``o·s − p + t = i`` for some tap ``t ∈ [0, k)``.
+    ``o·s − p + t = i`` for some tap ``t ∈ [0, k)`` — clamped to the output
+    spatial shape ``(in + 2p − k)//s + 1`` when ``out_spatial`` (per input
+    axis dims) is given.  spconv enforces this bound; without it, boundary
+    voxels on even grids spawn phantom sites one past the grid edge.
 
     This is the downsampling conv of pcdet's ``VoxelBackBone8x``
     (kernel 3, stride 2, padding 1 between stages; ``conv_out`` kernel
@@ -383,6 +390,12 @@ def sparse_conv3d_strided(
     """
     V = features.shape[0]
     k, s, p = kernel_size, stride, padding
+    if out_spatial is not None:
+        out_dims = tuple(
+            (out_spatial[ax] + 2 * p[ax] - k[ax]) // s[ax] + 1 for ax in range(3)
+        )
+    else:
+        out_dims = None
 
     # per-axis candidate output coords per input voxel: o = (i + p − t)/s
     def axis_cands(i, ax):
@@ -390,6 +403,8 @@ def sparse_conv3d_strided(
         for t in range(k[ax]):
             num = i + p[ax] - t
             ok = (num % s[ax] == 0) & (num >= 0)
+            if out_dims is not None:
+                ok &= num // s[ax] < out_dims[ax]
             outs.append((num // s[ax], ok))
         return outs
 
@@ -412,7 +427,7 @@ def sparse_conv3d_strided(
     ) & (shi < _KEY_MAX)
     slot = jnp.cumsum(first) - 1
     n_out = jnp.sum(first)
-    out_mask = jnp.arange(max_voxels) < n_out
+    out_mask = jnp.arange(max_voxels) < jnp.minimum(n_out, max_voxels)
     out_coords = jnp.zeros((max_voxels, 3), jnp.int32)
     write = jnp.where(first, slot, max_voxels)
     out_coords = out_coords.at[write].set(cands[order], mode="drop")
@@ -471,7 +486,7 @@ def voxelize_coords_mean(
     ) & (shi < _KEY_MAX)
     slot = jnp.cumsum(first) - 1
     V = jnp.sum(first)
-    vmask = jnp.arange(max_voxels) < V
+    vmask = jnp.arange(max_voxels) < jnp.minimum(V, max_voxels)
     coords_out = jnp.zeros((max_voxels, 3), jnp.int32)
     write = jnp.where(first, slot, max_voxels)
     coords_out = coords_out.at[write].set(coords_int[order], mode="drop")

@@ -319,3 +319,102 @@ def test_roi_head_refinement_end_to_end():
     np.testing.assert_allclose(np.asarray(boxes), proposals, rtol=1e-4, atol=1e-5)
     s = np.asarray(scores)
     assert s.shape == (16,) and np.isfinite(s).all() and ((s >= 0) & (s <= 1)).all()
+
+
+# ------------------------------------------------- post-processing (NMS)
+
+
+def _pcdet_class_agnostic_nms_mirror(boxes, scores, *, nms_thresh, post_max,
+                                     score_thresh):
+    """Independent numpy mirror of pcdet ``model_nms_utils.class_agnostic_nms``
+    (score threshold → greedy rotated NMS → NMS_POST_MAXSIZE), using the
+    golden-tested pairwise BEV IoU for overlap."""
+    from lidarcrafter_tpu.ops.iou3d import boxes_iou_bev
+
+    iou = np.asarray(boxes_iou_bev(jnp.asarray(boxes), jnp.asarray(boxes)))
+    cand = np.where(scores >= score_thresh)[0]
+    cand = cand[np.argsort(-scores[cand], kind="stable")]
+    kept = []
+    for i in cand:
+        if any(iou[j, i] > nms_thresh for j in kept):
+            continue
+        kept.append(i)
+        if len(kept) >= post_max:
+            break
+    return sorted(kept)
+
+
+def test_predict_post_processing_dedups():
+    """Duplicate-heavy proposal sets are deduplicated exactly like pcdet's
+    class-agnostic rotated NMS (VERDICT r2 missing #1): three clusters of
+    near-identical boxes → one survivor each, matching the numpy mirror."""
+    r = np.random.RandomState(11)
+    # 3 well-separated objects, 6 near-duplicate proposals each (top-k of a
+    # sigmoid heatmap produces exactly this shape of duplicate set)
+    centers = np.asarray([[0.0, 0.0], [12.0, 4.0], [-10.0, -6.0]])
+    boxes, scores = [], []
+    for ci, (cx, cy) in enumerate(centers):
+        for d in range(6):
+            boxes.append([cx + r.randn() * 0.05, cy + r.randn() * 0.05, -1.0,
+                          4.0, 2.0, 1.5, 0.3 + r.randn() * 0.01])
+            scores.append(0.9 - 0.1 * ci - 0.02 * d)
+    # plus two sub-threshold junk boxes
+    boxes += [[30.0, 30.0, -1.0, 4.0, 2.0, 1.5, 0.0],
+              [-30.0, 30.0, -1.0, 4.0, 2.0, 1.5, 0.0]]
+    scores += [0.05, 0.02]
+    boxes = np.asarray(boxes, np.float32)
+    scores = np.asarray(scores, np.float32)
+
+    det = VoxelRCNNCenterHead(
+        params={},  # forward is stubbed below; no roi_head
+        class_groups=(("car",),),
+        point_range=(-40.0, -40.0, -3.0, 40.0, 40.0, 1.0),
+        voxel_size=(0.1, 0.1, 0.1),
+    )
+    cls = jnp.zeros((len(scores),), jnp.int32)
+    det.forward = lambda p, m: (
+        [(jnp.asarray(boxes), jnp.asarray(scores), cls)], None
+    )
+
+    out_boxes, out_scores, names, valid = det.predict(
+        jnp.zeros((8, 4)), jnp.ones((8,), bool)
+    )
+    got = np.where(np.asarray(valid))[0].tolist()
+    want = _pcdet_class_agnostic_nms_mirror(
+        boxes, scores, nms_thresh=det.nms_thresh,
+        post_max=det.nms_post_maxsize, score_thresh=det.score_thresh,
+    )
+    assert got == want
+    assert len(got) == 3  # one survivor per planted object
+    surv = np.asarray(out_boxes)[got]
+    np.testing.assert_allclose(
+        np.sort(surv[:, 0]), np.sort(centers[:, 0]), atol=0.2
+    )
+
+
+def test_predict_post_maxsize_caps_survivors():
+    """NMS_POST_MAXSIZE truncates the kept set by descending score."""
+    r = np.random.RandomState(13)
+    n = 12
+    # n well-separated high-score boxes — NMS keeps all, cap keeps post_max
+    boxes = np.stack([
+        np.linspace(-30, 30, n), np.full(n, 5.0), np.full(n, -1.0),
+        np.full(n, 4.0), np.full(n, 2.0), np.full(n, 1.5),
+        r.rand(n),
+    ], 1).astype(np.float32)
+    scores = np.linspace(0.95, 0.4, n).astype(np.float32)
+
+    det = VoxelRCNNCenterHead(
+        params={},
+        class_groups=(("car",),),
+        point_range=(-40.0, -40.0, -3.0, 40.0, 40.0, 1.0),
+        voxel_size=(0.1, 0.1, 0.1),
+        nms_post_maxsize=5,
+    )
+    cls = jnp.zeros((n,), jnp.int32)
+    det.forward = lambda p, m: (
+        [(jnp.asarray(boxes), jnp.asarray(scores), cls)], None
+    )
+    _, _, _, valid = det.predict(jnp.zeros((8, 4)), jnp.ones((8,), bool))
+    got = np.where(np.asarray(valid))[0].tolist()
+    assert got == [0, 1, 2, 3, 4]  # five highest scores survive the cap
