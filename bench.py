@@ -53,6 +53,34 @@ def _median_rate(sample_fn, rng, batch, reps, rounds):
     return rates[len(rates) // 2]
 
 
+V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e MXU peak (bf16)
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def _cost_stats(sample_fn, rng, wall_per_call):
+    """Compiled-program cost analysis → bytes/step + MFU (VERDICT r2 weak
+    #10: report arithmetic intensity so HBM regressions are visible)."""
+    try:
+        ca = jax.jit(sample_fn).lower(rng).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        out = {
+            "gbytes_per_step": round(byts / NUM_STEPS / 1e9, 2),
+            "gflops_per_step": round(flops / NUM_STEPS / 1e9, 1),
+        }
+        if wall_per_call > 0:
+            out["mfu_pct"] = round(
+                100.0 * flops / wall_per_call / V5E_PEAK_BF16_FLOPS, 2
+            )
+            out["hbm_util_pct"] = round(
+                100.0 * byts / wall_per_call / V5E_HBM_BYTES_PER_S, 1
+            )
+        return out
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
 def bench_uncond():
     from lidarcrafter_tpu.configs import get_config
     from lidarcrafter_tpu.training import build_diffusion_training
@@ -81,10 +109,11 @@ def bench_uncond():
 
     reps = int(os.environ.get("BENCH_REPS", "4"))
     rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
-    return _median_rate(sample, rng, batch, reps, rounds)
+    rate = _median_rate(sample, rng, batch, reps, rounds)
+    return rate, _cost_stats(sample, rng, batch / rate)
 
 
-def _build_cond_stack(name):
+def _build_cond_stack(name, B=None):
     """Production conditional stack (layout encoder + LayoutUnetV1) with
     random-initialized weights at the config's real topology."""
     from lidarcrafter_tpu.configs import get_config
@@ -96,6 +125,7 @@ def _build_cond_stack(name):
     H, W = cfg.data.resolution
     L = cfg.condition_model.params["layout_length"]
     cc = cfg.condition_model.params.get("out_channels", 0)
+    autoreg = cfg.data.task == "autoregressive_generation"
 
     def cond_batch(B):
         b = {
@@ -103,15 +133,17 @@ def _build_cond_stack(name):
             "gt_boxes_2d": jnp.zeros((B, L, 4), jnp.float32),
             "is_valid_obj": jnp.ones((B, L), jnp.float32),
         }
-        if cc:
+        if cc and autoreg:
             b["concat_cond"] = jnp.zeros((B, H, W, cc - 1), jnp.float32)
             b["autoregressive_cond"] = jnp.zeros((B, H, W, 1), jnp.float32)
+        elif cc:
+            b["concat_cond"] = jnp.zeros((B, H, W, cc), jnp.float32)
         return b
 
-    # B=1 matches the rollout's per-frame sample signature, so the layout-cond
-    # bench and every rollout frame share ONE compiled executable (compiles of
-    # this stack cost minutes through the TPU tunnel).
-    B = int(os.environ.get("BENCH_COND_BATCH", "1"))
+    # BASELINE.md tiling finding: B must be a multiple of 8 for full MXU
+    # utilization; B=8 is the deployment batch, B=1 the rollout's legacy shape.
+    if B is None:
+        B = int(os.environ.get("BENCH_COND_BATCH", "8"))
     batch = cond_batch(B)
     cond_params = cond_model.init(jax.random.PRNGKey(1), batch)
     layout = cond_model.apply(cond_params, batch)
@@ -131,9 +163,9 @@ def _build_cond_stack(name):
     return cfg, engine, params, batch, B, lidar_utils
 
 
-def bench_layout_cond(name="nuscenes-auto-reg-v2"):
+def bench_layout_cond(name="nuscenes-auto-reg-v2", B=None):
     """Layout-conditioned (flagship conditional) sampling f/s."""
-    _, engine, params, batch, B, _ = _build_cond_stack(name)
+    _, engine, params, batch, B, _ = _build_cond_stack(name, B=B)
     rng = jax.random.PRNGKey(3)
 
     def sample(rng):
@@ -144,25 +176,25 @@ def bench_layout_cond(name="nuscenes-auto-reg-v2"):
     return _median_rate(sample, rng, B, reps=2, rounds=2)
 
 
-def bench_rollout(frames=15, scenes=1):
+def bench_rollout(frames=int(os.environ.get("BENCH_FRAMES", "15")), scenes=1):
     """Full 1+15-frame autoregressive rollout, on-device pipeline
     (cf. ``sample_and_save_temporal.py:203-335``), batched over ``scenes``.
-    Returns (wall seconds, frames/s)."""
+    Frame 0 is the REAL ``nuscenes-box-layout-v6`` stack (the reference's
+    frame-0 generator, ``sample_and_save_temporal.py:51-57``); frames 1..15
+    the ``nuscenes-auto-reg-v2`` stack.  Returns (wall seconds, frames/s)."""
     from lidarcrafter_tpu.pipeline import TemporalRollout
 
-    cfg, engine, params, batch, _, lidar_utils = _build_cond_stack(
-        "nuscenes-auto-reg-v2"
-    )
-    # frame-0 generator and autoregressive generator share the stack here
-    # (both are LayoutUnetV1 topologies; box-layout-v6 differs only in cond
-    # channels) — wall-clock per frame is what we measure.
     S = scenes
-    sb = {
-        k: jnp.broadcast_to(v[:1], (S, *v.shape[1:])) if v.shape[0] < S else v[:S]
-        for k, v in batch.items()
-    }
+    cfg0, engine0, params0, batch0, _, _ = _build_cond_stack(
+        "nuscenes-box-layout-v6", B=S
+    )
+    cfg, engine, params, batch, _, lidar_utils = _build_cond_stack(
+        "nuscenes-auto-reg-v2", B=S
+    )
+    # frame-0 batch: the layout-cond condition set (10ch concat_cond)
+    sb = dict(batch0)
     pipeline = TemporalRollout(
-        cond_engine=engine, cond_params=params,
+        cond_engine=engine0, cond_params=params0,
         autoreg_engine=engine, autoreg_params=params,
         lidar_utils=lidar_utils, num_sampling_steps=NUM_STEPS,
         sampling_mode="ddim",
@@ -188,19 +220,20 @@ def bench_rollout(frames=15, scenes=1):
 
 
 def main():
-    frames_per_sec = bench_uncond()
+    frames_per_sec, cost = bench_uncond()
     target = 10.0  # BASELINE.json north star, frames/s/chip @ 50 DDIM steps
 
-    extra = {}
+    extra = {"uncond_cost": cost}
     if os.environ.get("BENCH_FULL", "1") != "0":
         try:
-            extra["layout_cond_fps_50step_ddim"] = round(bench_layout_cond(), 3)
-            wall, _ = bench_rollout(scenes=1)
-            extra["rollout_16frame_wall_s_50step_ddim"] = round(wall, 2)
+            extra["layout_cond_fps_50step_ddim_b8"] = round(bench_layout_cond(B=8), 3)
+            extra["layout_cond_fps_50step_ddim_b1"] = round(bench_layout_cond(B=1), 3)
             s8 = int(os.environ.get("BENCH_ROLLOUT_SCENES", "8"))
             if s8 > 1:
                 _, fps = bench_rollout(scenes=s8)
                 extra[f"rollout_scenes{s8}_frames_per_sec"] = round(fps, 2)
+            wall, _ = bench_rollout(scenes=1)
+            extra["rollout_16frame_wall_s_50step_ddim"] = round(wall, 2)
         except Exception as e:  # sub-benches must never sink the headline
             extra["error"] = f"{type(e).__name__}: {e}"
 

@@ -35,6 +35,111 @@ from ..training.preprocess import (
 from ..utils.lidar import LiDARUtility
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "engine", "num_classes", "max_points_per_obj", "num_steps", "mode",
+    ),
+)
+def _rollout_frames(
+    engine,
+    params,
+    lidar_utils: LiDARUtility,
+    layout_const: dict,
+    frame0: jnp.ndarray,
+    boxes_seq: jnp.ndarray,       # (T, S, K, 7) boxes in the *current* frame
+    next_boxes_seq: jnp.ndarray,  # (T, S, K, 7) boxes in the *next* frame
+    Ts_seq: jnp.ndarray,          # (T, S, 4, 4) inter-frame transforms
+    classes_col: jnp.ndarray,     # (S, K, 1)
+    box_mask: jnp.ndarray,        # (S, K)
+    keys: jnp.ndarray,            # (T,) per-frame PRNG keys
+    *,
+    num_classes: int,
+    max_points_per_obj: int,
+    num_steps: int,
+    mode: str,
+) -> jnp.ndarray:
+    """The 15-step autoregressive continuation as ONE ``lax.scan`` whose body
+    fuses warp → refine → replay → project → conditioning → the 50-step
+    sampling scan.  The reference dispatches each stage (and every denoise
+    step) from the host per frame (``sample_and_save_temporal.py:236-321``);
+    here the entire rollout is a single XLA program, so no host round-trip —
+    or dispatch through the TPU tunnel — happens between frames.
+
+    Returns the generated frames (T, S, H, W, C).
+    """
+    H, W = lidar_utils.resolution
+    S = frame0.shape[0]
+
+    v_split = jax.vmap(
+        partial(R.split_foreground_background, max_points_per_obj=max_points_per_obj)
+    )
+    v_warp = jax.vmap(R.transform_points_homogeneous)
+    v_refine = jax.vmap(
+        partial(
+            R.refine_points_via_condition_mask, H=H, W=W,
+            min_depth=lidar_utils.min_depth, max_depth=lidar_utils.max_depth,
+        )
+    )
+    v_replay = jax.vmap(R.replay_objects)
+    v_project = jax.vmap(
+        partial(
+            points_to_range_image, H=H, W=W,
+            min_depth=lidar_utils.min_depth, max_depth=lidar_utils.max_depth,
+        )
+    )
+    v_boxes2d = jax.vmap(partial(convert_boxes_to_2d, H=H, W=W))
+
+    def image_to_points(sample):
+        post = postprocess_sample(sample, lidar_utils)
+        xyz = post["xyz"].reshape(S, -1, 3)
+        refl = post.get("reflectance")
+        inten = (
+            (refl.reshape(S, -1, 1) * 255.0)
+            if refl is not None
+            else jnp.zeros((S, xyz.shape[1], 1))
+        )
+        pts = jnp.concatenate([xyz, inten], axis=2)
+        mask = jnp.linalg.norm(xyz, axis=2) > 1e-2
+        mask &= ~((jnp.abs(pts[..., 0]) < 2.0) & (jnp.abs(pts[..., 1]) < 2.0))
+        return pts, mask
+
+    def body(carry, xs):
+        pts, mask = carry
+        boxes_t, next_boxes, T_t, key = xs
+        bg_mask, obj_pts, obj_mask = v_split(pts, mask, boxes_t, box_mask)
+        bg_next = v_warp(pts, T_t)
+        next_boxes_cls = jnp.concatenate([next_boxes, classes_col], axis=2)
+        bg_next, bg_next_mask = v_refine(bg_next, bg_mask, next_boxes_cls, box_mask)
+        fg_pts, fg_mask = v_replay(obj_pts, obj_mask, next_boxes, box_mask)
+        all_pts = jnp.concatenate([bg_next, fg_pts.reshape(S, -1, 4)], axis=1)
+        all_mask = jnp.concatenate([bg_next_mask, fg_mask.reshape(S, -1)], axis=1)
+
+        img = v_project(all_pts, all_mask)
+        depth = img[..., 4:5] * img[..., 5:6]
+        refl = img[..., 3:4] / 255.0 * img[..., 5:6]
+        cond = jnp.concatenate([depth, refl], axis=-1)
+        autoreg_cond = preprocess_autoregressive_cond(cond, lidar_utils)
+
+        _, condition_mask, _ = v_boxes2d(next_boxes_cls, box_mask)
+        batch = dict(layout_const)
+        batch["concat_cond"] = preprocess_condition_mask(
+            {"condition_mask": condition_mask}, lidar_utils, num_classes
+        )
+        batch["autoregressive_cond"] = autoreg_cond
+
+        sample = engine.sample(
+            params, key, batch, batch_size=S, num_steps=num_steps, mode=mode
+        )
+        return image_to_points(sample), sample
+
+    init = image_to_points(frame0)
+    _, frames = jax.lax.scan(
+        body, init, (boxes_seq, next_boxes_seq, Ts_seq, keys)
+    )
+    return frames
+
+
 @dataclasses.dataclass
 class TemporalRollout:
     """Drives layout-cond frame-0 + autoregressive continuation.
@@ -159,69 +264,40 @@ class TemporalRollout:
         box_mask = jnp.ones((S, K), bool)
         classes_col = jnp.asarray(box_names_classes)[..., None]
 
-        # scene-vmapped geometry ops (per-scene fns stay single-cloud)
-        H, W = self.lidar_utils.resolution
-        v_split = jax.vmap(
-            partial(R.split_foreground_background,
-                    max_points_per_obj=self.max_points_per_obj)
-        )
-        v_warp = jax.vmap(R.transform_points_homogeneous)
-        v_refine = jax.vmap(
-            partial(R.refine_points_via_condition_mask, H=H, W=W,
-                    min_depth=self.lidar_utils.min_depth,
-                    max_depth=self.lidar_utils.max_depth)
-        )
-        v_replay = jax.vmap(R.replay_objects)
-        v_project = jax.vmap(self._project)
-        v_boxes2d = jax.vmap(
-            partial(convert_boxes_to_2d, H=H, W=W)
-        )
-
-        # --- frame 0
+        # --- frame 0 (its own program: the frame-0 generator is a different
+        # model — nuscenes-box-layout-v6 — than the autoregressive stack)
         rng, r0 = jax.random.split(rng)
-        sample = self.generate_first_frame(first_frame_batch, r0)
-        frames = [sample]
-        pts, mask = self.image_to_points(sample)
+        frame0 = self.generate_first_frame(first_frame_batch, r0)
 
-        for t_id in range(Tsteps):
-            # fg/bg split on the current generation
-            boxes_t = jnp.asarray(
-                boxes0 if t_id == 0 else fut_boxes[:, :, t_id - 1]
-            )
-            bg_mask, obj_pts, obj_mask = v_split(pts, mask, boxes_t, box_mask)
-            # warp background into the next frame
-            bg_next = v_warp(pts, jnp.asarray(Ts[:, t_id]))
-            next_boxes = jnp.asarray(fut_boxes[:, :, t_id])
-            next_boxes_cls = jnp.concatenate([next_boxes, classes_col], axis=2)
-            # hidden-surface + next-frame-box-interior removal through the
-            # range image (pipe_related.refine_next_frame_points semantics)
-            bg_next, bg_next_mask = v_refine(bg_next, bg_mask, next_boxes_cls, box_mask)
-            # replay foreground at the future boxes
-            fg_pts, fg_mask = v_replay(obj_pts, obj_mask, next_boxes, box_mask)
-            all_pts = jnp.concatenate(
-                [bg_next, fg_pts.reshape(S, -1, 4)], axis=1
-            )
-            all_mask = jnp.concatenate(
-                [bg_next_mask, fg_mask.reshape(S, -1)], axis=1
-            )
-
-            # condition image for the next frame
-            img = v_project(all_pts, all_mask)
-            depth = img[..., 4:5] * img[..., 5:6]
-            refl = img[..., 3:4] / 255.0 * img[..., 5:6]
-            cond = jnp.concatenate([depth, refl], axis=-1)
-            autoreg_cond = preprocess_autoregressive_cond(cond, self.lidar_utils)
-
-            _, condition_mask, _ = v_boxes2d(next_boxes_cls, box_mask)
-            layout_batch = dict(first_frame_batch)
-            layout_batch["concat_cond"] = preprocess_condition_mask(
-                {"condition_mask": condition_mask}, self.lidar_utils,
-                self.num_classes,
-            )
-
+        # per-frame PRNG chain (identical to the former host loop's
+        # `rng, rt = split(rng)` per frame)
+        keys = []
+        for _ in range(Tsteps):
             rng, rt = jax.random.split(rng)
-            sample = self.generate_next_frame(autoreg_cond, layout_batch, rt)
-            frames.append(sample)
-            pts, mask = self.image_to_points(sample)
+            keys.append(rt)
+        keys = jnp.stack(keys)
 
-        return [np.asarray(f) for f in frames]
+        # frame-t sequences: boxes in the current frame (frame 0 uses boxes0),
+        # boxes in the next frame, and the inter-frame ego transform
+        boxes_seq = np.concatenate(
+            [boxes0[:, None], np.moveaxis(fut_boxes, 2, 1)[:, : Tsteps - 1]],
+            axis=1,
+        )  # (S, T, K, 7)
+        frames = _rollout_frames(
+            self.autoreg_engine,
+            self.autoreg_params,
+            self.lidar_utils,
+            first_frame_batch,
+            frame0,
+            jnp.asarray(np.swapaxes(boxes_seq, 0, 1)),
+            jnp.asarray(np.moveaxis(fut_boxes[:, :, :Tsteps], 2, 0)),
+            jnp.asarray(np.swapaxes(Ts[:, :Tsteps], 0, 1)),
+            classes_col,
+            box_mask,
+            keys,
+            num_classes=self.num_classes,
+            max_points_per_obj=self.max_points_per_obj,
+            num_steps=self.num_sampling_steps,
+            mode=self.sampling_mode,
+        )
+        return [np.asarray(frame0)] + [np.asarray(f) for f in frames]
