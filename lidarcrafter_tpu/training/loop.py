@@ -1,14 +1,16 @@
 """Training loop driver.
 
 Replaces the reference's per-workload scripts (``tools/train/train_lidm.py:38``,
-``train_lidm_cond.py:31`` — one Accelerate/DDP loop each) with a single
-:class:`Trainer` parameterized by the named config: factory → optax → jitted
-train step on the dp/sp mesh → EMA → periodic orbax checkpoints.
+``train_lidm_cond.py:31``, ``train_flow.py``, ``train_object.py``,
+``train_layout.py:29-213`` — one Accelerate/DDP loop each) with ONE
+:class:`Trainer` loop body shared by all four workloads: factory → optax →
+jitted train step on the dp/sp mesh → EMA → tracker/preview/profiling →
+periodic orbax checkpoints → resume.  Subclasses override only the model
+builder, state init, and batch preparation.
 """
 
 from __future__ import annotations
 
-import time
 from pathlib import Path
 from typing import Any, Callable, Iterator
 
@@ -18,7 +20,7 @@ import numpy as np
 
 from ..parallel import batch_sharding, make_mesh, replicated_sharding
 from ..utils.profiling import StepTimer
-from .checkpoint import save_checkpoint
+from .checkpoint import restore_checkpoint, save_checkpoint
 from .factory import build_diffusion_training
 from .optim import cosine_warmup_schedule, make_optimizer
 from .preprocess import preprocess_autoregressive_cond, preprocess_condition_mask, preprocess_x0
@@ -27,12 +29,21 @@ from .tracker import render_sample_images
 from .train_step import make_train_step
 
 
+def latest_checkpoint(output_dir: str | Path) -> str | None:
+    """Newest ``ckpt_*`` under ``output_dir`` (step-ordered), or None."""
+    ckpts = sorted(Path(output_dir).glob("ckpt_*"))
+    return str(ckpts[-1]) if ckpts else None
+
+
 class Trainer:
     """Unconditional / concat-conditioned diffusion trainer.
 
     ``data_iter`` yields collated numpy batches (NuscDataset.collate_fn
     format); conditioning channels are derived on-device per step.
     """
+
+    donate = True          # donate the train state into the jitted step
+    loss_has_aux = False   # engine.loss returns (loss, aux) instead of loss
 
     def __init__(
         self,
@@ -45,12 +56,13 @@ class Trainer:
         profile_dir: str | None = None,
         preview_num_steps: int | None = None,
         preview_batch_size: int | None = None,
+        **build_kwargs,
     ):
         self.cfg = cfg
         self.data_iter = data_iter
         self.log_fn = log_fn
         self.output_dir = Path(output_dir or cfg.training.output_dir)
-        self.models, self.engine, self.lidar_utils = build_diffusion_training(cfg)
+        self.models, self.engine, self.lidar_utils = self._build(cfg, **build_kwargs)
         self.is_cond = isinstance(self.models, dict)
         self.mesh = mesh if mesh is not None else make_mesh(sp=1)
         # observability (cf. train_lidm.py:57-73,173-198,237-244)
@@ -72,6 +84,15 @@ class Trainer:
             weight_decay=cfg.training.adam_weight_decay,
             grad_accum_steps=cfg.training.gradient_accumulation_steps,
         )
+
+    # --------------------------------------------------------------- builder
+
+    def _build(self, cfg, **kw):
+        return build_diffusion_training(cfg)
+
+    def _loss_kwargs(self) -> dict:
+        """Extra kwargs for ``engine.loss`` (see subclass overrides)."""
+        return {}
 
     # ------------------------------------------------------------------ init
 
@@ -130,6 +151,20 @@ class Trainer:
             )
         return input_dict
 
+    def _shard_batch(self, prepared):
+        """dp-shard batch arrays whose leading dim divides the dp axis;
+        replicate the rest (e.g. shared lookup tables, graph-node axes that
+        don't align with the mesh)."""
+        dp = self.mesh.shape.get("dp", 1)
+
+        def put(a):
+            ndim = getattr(a, "ndim", 0)
+            if ndim >= 1 and a.shape[0] % dp == 0:
+                return jax.device_put(a, batch_sharding(self.mesh, ndim))
+            return jax.device_put(a, replicated_sharding(self.mesh))
+
+        return jax.tree_util.tree_map(put, prepared)
+
     # -------------------------------------------------------------- preview
 
     def preview_images(self, state: TrainState, rng: jax.Array,
@@ -156,6 +191,24 @@ class Trainer:
             train_reflectance=self.cfg.data.train_reflectance,
         )
 
+    # ---------------------------------------------------------------- resume
+
+    def resume_state(self, resume: str, rng: jax.Array) -> TrainState:
+        """Restore params/EMA/opt_state/step from an orbax checkpoint (cf.
+        ``train_lidm.py:294-300`` / ``inference.py:335-344``: the reference
+        restores weights, EMA, optimizer, scheduler and global_step).
+        ``resume='auto'`` picks the newest ``ckpt_*`` in ``output_dir``."""
+        path = latest_checkpoint(self.output_dir) if resume == "auto" else resume
+        if path is None:
+            if self.log_fn is not None:
+                self.log_fn({"resume": "no checkpoint found, fresh start"})
+            return self.init_state(rng)
+        template = self.init_state(rng)
+        state, _ = restore_checkpoint(path, template)
+        if self.log_fn is not None:
+            self.log_fn({"resume": path, "step": int(state.step)})
+        return state
+
     # ------------------------------------------------------------------ run
 
     def train(
@@ -166,6 +219,7 @@ class Trainer:
         checkpoint_every: int | None = None,
         preview_every: int | None = None,
         log_every: int = 50,
+        resume: str | None = None,
     ) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.training.seed)
         num_steps = num_steps or self.cfg.training.num_steps
@@ -174,7 +228,7 @@ class Trainer:
             else self.cfg.training.steps_save_image
 
         if state is None:
-            state = self.init_state(rng)
+            state = self.resume_state(resume, rng) if resume else self.init_state(rng)
         state = jax.device_put(state, replicated_sharding(self.mesh))
 
         step_fn = make_train_step(
@@ -184,6 +238,9 @@ class Trainer:
             ema_update_every=self.cfg.training.ema_update_every,
             ema_update_after_step=self.cfg.training.lr_warmup_steps
             * self.cfg.training.gradient_accumulation_steps,
+            donate=self.donate,
+            loss_kwargs=self._loss_kwargs(),
+            loss_has_aux=self.loss_has_aux,
         )
 
         timer = StepTimer()
@@ -191,13 +248,7 @@ class Trainer:
         prepared = None
         while int(jax.device_get(state.step)) < num_steps:
             batch = next(self.data_iter)
-            prepared = self.prepare_batch(batch)
-            prepared = jax.tree_util.tree_map(
-                lambda a: jax.device_put(
-                    a, batch_sharding(self.mesh, getattr(a, "ndim", 1))
-                ),
-                prepared,
-            )
+            prepared = self._shard_batch(self.prepare_batch(batch))
             state, loss = step_fn(state, prepared, rng)
             step = int(jax.device_get(state.step))
             timer.tick()
@@ -245,29 +296,17 @@ class Trainer:
 
 
 class FlowTrainer(Trainer):
-    """MeanFlow branch trainer (meanflow-nusc); cf. ``tools/train/train_flow.py``."""
+    """MeanFlow branch trainer (meanflow-nusc); cf. ``tools/train/train_flow.py``.
 
-    def __init__(self, cfg, data_iter, **kw):
-        super(Trainer, self).__init__()  # bypass Trainer.__init__
+    The MeanFlow engine's loss returns ``(adaptive_loss, mse)`` — the shared
+    step selects the scalar via ``loss_has_aux``."""
+
+    loss_has_aux = True
+
+    def _build(self, cfg, **kw):
         from .factory import build_flow_training
 
-        self.cfg = cfg
-        self.data_iter = data_iter
-        self.log_fn = kw.get("log_fn", print)
-        self.output_dir = Path(kw.get("output_dir") or cfg.training.output_dir)
-        self.models, self.engine, self.lidar_utils = build_flow_training(cfg)
-        self.is_cond = False
-        self.mesh = kw.get("mesh") or make_mesh(sp=1)
-        self.tx = make_optimizer(
-            lr=cfg.training.lr,
-            warmup_steps=cfg.training.lr_warmup_steps,
-            num_steps=cfg.training.num_steps,
-            b1=cfg.training.adam_beta1,
-            b2=cfg.training.adam_beta2,
-            eps=cfg.training.adam_epsilon,
-            weight_decay=cfg.training.adam_weight_decay,
-            grad_accum_steps=cfg.training.gradient_accumulation_steps,
-        )
+        return build_flow_training(cfg)
 
     def init_state(self, rng):
         H, W = self.cfg.data.resolution
@@ -276,74 +315,23 @@ class FlowTrainer(Trainer):
         )
         return TrainState.create(params, self.tx)
 
-    def train(self, num_steps=None, rng=None, state=None, checkpoint_every=None):
-        import optax
-
-        from .ema import ema_update
-
-        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.training.seed)
-        num_steps = num_steps or self.cfg.training.num_steps
-        if state is None:
-            state = self.init_state(rng)
-        engine, tx, cfg = self.engine, self.tx, self.cfg
-
-        @jax.jit
-        def step_fn(state, x_0, rng):
-            step_rng = jax.random.fold_in(rng, state.step)
-
-            def loss_fn(params):
-                loss, mse = engine.loss(params, step_rng, x_0)
-                return loss
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            ema_params = ema_update(
-                state.ema_params, params, state.step,
-                beta=cfg.training.ema_decay,
-                update_every=cfg.training.ema_update_every,
-                update_after_step=cfg.training.lr_warmup_steps,
-            )
-            return state.replace(
-                step=state.step + 1, params=params,
-                ema_params=ema_params, opt_state=opt_state,
-            ), loss
-
-        while int(jax.device_get(state.step)) < num_steps:
-            batch = next(self.data_iter)
-            x_0 = self.prepare_batch(batch)
-            state, loss = step_fn(state, x_0, rng)
-            step = int(jax.device_get(state.step))
-            if self.log_fn is not None and step % 50 == 0:
-                self.log_fn({"step": step, "loss": float(jax.device_get(loss))})
-            if checkpoint_every and step % checkpoint_every == 0:
-                save_checkpoint(str(self.output_dir / f"ckpt_{step:010d}"), state, self.cfg)
-        return state
-
 
 class ObjectTrainer(Trainer):
     """Per-object point diffusion trainer (nuscenes-object);
     cf. ``tools/train/train_object.py``.  ``data_iter`` yields the
     NuscObjectDataset collate format + a ``fg_text_features`` table."""
 
+    donate = False  # fg_text_features is re-fed every step; donation would
+    # invalidate the shared table buffer
+
     def __init__(self, cfg, data_iter, text_features, **kw):
-        super(Trainer, self).__init__()
+        self.text_features = jnp.asarray(text_features)
+        super().__init__(cfg, data_iter, **kw)
+
+    def _build(self, cfg, **kw):
         from .factory import build_object_training
 
-        self.cfg = cfg
-        self.data_iter = data_iter
-        self.text_features = jnp.asarray(text_features)
-        self.log_fn = kw.get("log_fn", print)
-        self.output_dir = Path(kw.get("output_dir") or cfg.training.output_dir)
-        self.models, self.engine, self.lidar_utils = build_object_training(cfg)
-        self.is_cond = True
-        self.mesh = kw.get("mesh") or make_mesh(sp=1)
-        self.tx = make_optimizer(
-            lr=cfg.training.lr,
-            warmup_steps=cfg.training.lr_warmup_steps,
-            num_steps=cfg.training.num_steps,
-            grad_accum_steps=cfg.training.gradient_accumulation_steps,
-        )
+        return build_object_training(cfg)
 
     def init_state(self, rng):
         N = self.cfg.data.num_samples
@@ -368,28 +356,6 @@ class ObjectTrainer(Trainer):
             "fg_text_features": self.text_features,
         }
 
-    def train(self, num_steps=None, rng=None, state=None, checkpoint_every=None):
-        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.training.seed)
-        num_steps = num_steps or self.cfg.training.num_steps
-        if state is None:
-            state = self.init_state(rng)
-        step_fn = make_train_step(
-            self.engine, self.tx,
-            ema_beta=self.cfg.training.ema_decay,
-            ema_update_every=self.cfg.training.ema_update_every,
-            ema_update_after_step=self.cfg.training.lr_warmup_steps,
-            donate=False,
-        )
-        while int(jax.device_get(state.step)) < num_steps:
-            batch = self.prepare_batch(next(self.data_iter))
-            state, loss = step_fn(state, batch, rng)
-            step = int(jax.device_get(state.step))
-            if self.log_fn is not None and step % 50 == 0:
-                self.log_fn({"step": step, "loss": float(jax.device_get(loss))})
-            if checkpoint_every and step % checkpoint_every == 0:
-                save_checkpoint(str(self.output_dir / f"ckpt_{step:010d}"), state, self.cfg)
-        return state
-
 
 def pad_layout_batch(collated: dict, max_nodes: int, max_edges: int) -> dict:
     """Collated scene-graph batch (decoder side of
@@ -401,8 +367,8 @@ def pad_layout_batch(collated: dict, max_nodes: int, max_edges: int) -> dict:
     """
     dec = collated["decoder"] if "decoder" in collated else collated
     boxes = np.asarray(dec["boxes"], np.float32)
-    objs = np.asarray(dec["objs"], np.int64)
-    triples = np.asarray(dec.get("tripltes", dec.get("triples")), np.int64).reshape(-1, 3)
+    objs = np.asarray(dec["objs"], np.int32)
+    triples = np.asarray(dec.get("tripltes", dec.get("triples")), np.int32).reshape(-1, 3)
     n, e = len(objs), len(triples)
     if n > max_nodes or e > max_edges:
         raise ValueError(f"batch ({n} nodes, {e} edges) exceeds budgets "
@@ -410,10 +376,10 @@ def pad_layout_batch(collated: dict, max_nodes: int, max_edges: int) -> dict:
     D = boxes.shape[1]
     boxes_p = np.zeros((max_nodes, D), np.float32)
     boxes_p[:n] = boxes
-    objs_p = np.zeros((max_nodes,), np.int64)
+    objs_p = np.zeros((max_nodes,), np.int32)
     objs_p[:n] = objs
-    scene_p = np.zeros((max_nodes,), np.int64)
-    scene_p[:n] = np.asarray(dec["obj_to_scene"], np.int64)
+    scene_p = np.zeros((max_nodes,), np.int32)
+    scene_p[:n] = np.asarray(dec["obj_to_scene"], np.int32)
     tf = np.asarray(dec["text_feats"], np.float32)
     rf = np.asarray(dec["rel_feats"], np.float32)
     tf_p = np.zeros((max_nodes, tf.shape[1] if tf.ndim == 2 else 512), np.float32)
@@ -422,7 +388,7 @@ def pad_layout_batch(collated: dict, max_nodes: int, max_edges: int) -> dict:
         tf_p[:n] = tf
     if e:
         rf_p[:e] = rf
-    trip_p = np.zeros((max_edges, 3), np.int64)
+    trip_p = np.zeros((max_edges, 3), np.int32)
     trip_p[:e] = triples
     return {
         "boxes": jnp.asarray(boxes_p),
@@ -437,39 +403,53 @@ def pad_layout_batch(collated: dict, max_nodes: int, max_edges: int) -> dict:
     }
 
 
+# nuScenes layout scenes carry ≤13 objects + the ego node
+# (``prepare_nusc_layout_dataset.py:22-66``; layout_length=13 in the 2D
+# configs); each object pair emits up to 5 relationships and each
+# object–ego pair up to 4.
+MAX_OBJECTS_PER_SCENE = 13
+EDGES_PER_SCENE = (
+    MAX_OBJECTS_PER_SCENE * (MAX_OBJECTS_PER_SCENE - 1) // 2 * 5
+    + MAX_OBJECTS_PER_SCENE * 4
+)  # 442
+
+
+def _round8(n: int) -> int:
+    return (n + 7) // 8 * 8
+
+
 class LayoutTrainer(Trainer):
     """Scene-graph → 1D layout diffusion trainer (nuscenes-layout);
     cf. ``tools/train/train_layout.py:29-213``.  ``data_iter`` yields
-    collated scene-graph batches (``collate_scene_graphs`` format)."""
+    collated scene-graph batches (``collate_scene_graphs`` format).
 
-    def __init__(self, cfg, data_iter, max_nodes: int = 64,
-                 max_edges: int = 128, **kw):
-        super(Trainer, self).__init__()
+    Node/edge budgets default to the dataset's worst case for
+    ``batch_size_train`` scenes (not a guess); a batch that still overflows
+    grows the budgets and recompiles instead of crashing mid-run."""
+
+    def __init__(self, cfg, data_iter, max_nodes: int | None = None,
+                 max_edges: int | None = None, **kw):
+        B = cfg.training.batch_size_train
+        self.max_nodes = max_nodes or _round8(B * (MAX_OBJECTS_PER_SCENE + 1))
+        self.max_edges = max_edges or _round8(B * EDGES_PER_SCENE)
+        super().__init__(cfg, data_iter, **kw)
+
+    def _build(self, cfg, **kw):
         from .factory import build_layout_training
 
-        self.cfg = cfg
-        self.data_iter = data_iter
-        self.max_nodes, self.max_edges = max_nodes, max_edges
-        self.log_fn = kw.get("log_fn", print)
-        self.output_dir = Path(kw.get("output_dir") or cfg.training.output_dir)
-        self.models, self.engine, self.lidar_utils = build_layout_training(
+        return build_layout_training(
             cfg,
             num_objs=kw.get("num_objs", 9),
             num_preds=kw.get("num_preds", 16),
         )
-        self.is_cond = True
-        self.mesh = kw.get("mesh") or make_mesh(sp=1)
-        self.tx = make_optimizer(
-            lr=cfg.training.lr,
-            warmup_steps=cfg.training.lr_warmup_steps,
-            num_steps=cfg.training.num_steps,
-            grad_accum_steps=cfg.training.gradient_accumulation_steps,
-        )
+
+    def _loss_kwargs(self):
+        return {"num_scenes": self.cfg.training.batch_size_train}
 
     def init_state(self, rng):
         g = {
-            "objs": jnp.zeros((self.max_nodes,), jnp.int64),
-            "triples": jnp.zeros((self.max_edges, 3), jnp.int64),
+            "objs": jnp.zeros((self.max_nodes,), jnp.int32),
+            "triples": jnp.zeros((self.max_edges, 3), jnp.int32),
             "text_feats": jnp.zeros((self.max_nodes, 512)),
             "rel_feats": jnp.zeros((self.max_edges, 512)),
             "edge_mask": jnp.zeros((self.max_edges,), bool),
@@ -499,47 +479,20 @@ class LayoutTrainer(Trainer):
             {"model": model_params, "cond": cond_params}, self.tx
         )
 
-    def train(self, num_steps=None, rng=None, state=None, checkpoint_every=None):
-        import optax
-
-        from .ema import ema_update
-
-        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.training.seed)
-        num_steps = num_steps or self.cfg.training.num_steps
-        if state is None:
-            state = self.init_state(rng)
-        engine, tx, cfg = self.engine, self.tx, self.cfg
-        B = cfg.training.batch_size_train
-
-        @jax.jit
-        def step_fn(state, batch, rng):
-            step_rng = jax.random.fold_in(rng, state.step)
-
-            def loss_fn(params):
-                return engine.loss(params, step_rng, batch, num_scenes=B)
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            ema_params = ema_update(
-                state.ema_params, params, state.step,
-                beta=cfg.training.ema_decay,
-                update_every=cfg.training.ema_update_every,
-                update_after_step=cfg.training.lr_warmup_steps,
-            )
-            return state.replace(
-                step=state.step + 1, params=params,
-                ema_params=ema_params, opt_state=opt_state,
-            ), loss
-
-        while int(jax.device_get(state.step)) < num_steps:
-            batch = next(self.data_iter)
-            if "scenegraph" not in batch:
-                batch = pad_layout_batch(batch, self.max_nodes, self.max_edges)
-            state, loss = step_fn(state, batch, rng)
-            step = int(jax.device_get(state.step))
-            if self.log_fn is not None and (step % 50 == 0 or step <= 2):
-                self.log_fn({"step": step, "loss": float(jax.device_get(loss))})
-            if checkpoint_every and step % checkpoint_every == 0:
-                save_checkpoint(str(self.output_dir / f"ckpt_{step:010d}"), state, self.cfg)
-        return state
+    def prepare_batch(self, batch):
+        if "scenegraph" in batch:
+            return batch
+        dec = batch["decoder"] if "decoder" in batch else batch
+        n = len(np.asarray(dec["objs"]))
+        e = len(np.asarray(dec.get("tripltes", dec.get("triples"))).reshape(-1, 3))
+        if n > self.max_nodes or e > self.max_edges:
+            # grow-and-recompile policy (documented): a bigger-than-expected
+            # scene re-pads to new budgets; jit retraces once per new shape
+            self.max_nodes = max(self.max_nodes, _round8(n))
+            self.max_edges = max(self.max_edges, _round8(e))
+            if self.log_fn is not None:
+                self.log_fn({
+                    "layout_budget_grow":
+                        {"max_nodes": self.max_nodes, "max_edges": self.max_edges}
+                })
+        return pad_layout_batch(batch, self.max_nodes, self.max_edges)

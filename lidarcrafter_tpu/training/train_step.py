@@ -27,18 +27,24 @@ def make_train_step(
     ema_update_every: int = 10,
     ema_update_after_step: int = 100,
     donate: bool = True,
+    loss_kwargs: dict | None = None,
+    loss_has_aux: bool = False,
 ) -> Callable[[TrainState, jnp.ndarray, jax.Array], tuple[TrainState, jnp.ndarray]]:
     """Build ``train_step(state, x_0, rng) -> (state, loss)``.
 
     ``x_0``: (B, H, W, C) already normalized to [-1, 1]; rng is folded with the
-    step counter so a single key drives the whole run.
+    step counter so a single key drives the whole run.  ``loss_kwargs`` are
+    forwarded to ``engine.loss`` (e.g. the layout engine's ``num_scenes``);
+    ``loss_has_aux`` selects the scalar from a ``(loss, aux)`` return (the
+    MeanFlow engine's ``(loss, mse)``).
     """
 
     def train_step(state: TrainState, x_0: jnp.ndarray, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            return engine.loss(params, step_rng, x_0)
+            out = engine.loss(params, step_rng, x_0, **(loss_kwargs or {}))
+            return out[0] if loss_has_aux else out
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -829,3 +829,295 @@ def convert_voxel_rcnn(
         out["roi_head"] = rh
 
     return out
+
+
+# --------------------------------------------------------------------- HDiT
+
+
+def convert_hdit(sd: Mapping) -> dict:
+    """Reference HDiT (``lidargen/models/dits/hdit.py:486-652``) state_dict →
+    flax :class:`~lidarcrafter_tpu.models.hdit.HDiT` params.
+
+    Covers the ``nuscenes-hdit-uncond`` checkpoints (``option_dit_nusc.py``):
+    tokenizer/detokenizer, learnable or mapped positional embedding, RFF +
+    mapping-network time embedding, and every down/mid/up Block
+    (AdaRMSNorm-conditioned cosine attention + GEGLU FFN).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def mapping_network(prefix, depth):
+        out = {"norm_in": {"scale": sd[f"{prefix}.0.scale"]}}
+        for k in range(depth):
+            mfn = f"{prefix}.{k + 1}"
+            out[f"mlp{k}_norm"] = {"scale": sd[f"{mfn}.norm.scale"]}
+            out[f"mlp{k}_gegelu"] = {
+                "Dense_0": {"kernel": _linear(sd[f"{mfn}.gegelu.weight"])}
+            }
+            out[f"mlp{k}_linear"] = {"kernel": _linear(sd[f"{mfn}.linear.weight"])}
+        out["norm_out"] = {"scale": sd[f"{prefix}.{depth + 1}.scale"]}
+        return out
+
+    def block(prefix):
+        a = f"{prefix}.residual_attn"
+        f = f"{prefix}.residual_ffn"
+        return {
+            "attn": {
+                "norm": {"proj": {"kernel": _linear(sd[f"{a}.norm.proj.0.weight"])}},
+                "scale": sd[f"{a}.scale"],
+                "qkv_proj": {"kernel": _linear(sd[f"{a}.qkv_proj.weight"])},
+                "out_proj": {"kernel": _linear(sd[f"{a}.out_proj.weight"])},
+            },
+            "ffn": {
+                "adarms": {"proj": {"kernel": _linear(sd[f"{f}.adarms.proj.0.weight"])}},
+                "gegelu": {
+                    "Dense_0": {"kernel": _linear(sd[f"{f}.gegelu.weight"])}
+                },
+                "linear": {"kernel": _linear(sd[f"{f}.linear.weight"])},
+            },
+        }
+
+    # infer depths / mapping depth from the key set (distinct indices —
+    # mapping-network MFN blocks are 1-based inside their Sequential)
+    def count(pattern):
+        hits = set()
+        for k in sd:
+            m = re.match(pattern, k)
+            if m:
+                hits.add(int(m.group(1)))
+        return len(hits)
+
+    levels = count(r"down_levels\.level_(\d+)\.")
+    mid_depth = count(r"mid_levels\.(\d+)\.")
+    map_depth = count(r"timestep_pe\.1\.(\d+)\.norm\.scale")
+
+    params = {
+        "rff_freqs": sd["timestep_pe.0.freqs"],
+        "rff_linear": {"kernel": _linear(sd["timestep_pe.0.linear.weight"])},
+        "timestep_mapping": mapping_network("timestep_pe.1", map_depth),
+        "tokenizer": {"kernel": _conv(sd["tokenizer.0.weight"])},
+        "detok_norm": {"scale": sd["detokenizer.0.scale"]},
+        "detok_linear": {"kernel": _linear(sd["detokenizer.1.weight"])},
+    }
+    if "spatial_pe.embedding" in sd:
+        params["spatial_pe"] = sd["spatial_pe.embedding"]
+    else:  # AbsolutePositionalEmbedding + MappingNetwork
+        params["ape_linear"] = {
+            "kernel": _linear(sd["spatial_pe.0.linear.weight"])
+        }
+        sp_depth = count(r"spatial_pe\.1\.(\d+)\.norm\.scale")
+        params["spatial_mapping"] = mapping_network("spatial_pe.1", sp_depth)
+
+    for i in range(levels):
+        depth_i = count(rf"down_levels\.level_{i}\.(\d+)\.")
+        for j in range(depth_i):
+            params[f"down_{i}_{j}"] = block(f"down_levels.level_{i}.{j}")
+            params[f"up_{i}_{j}"] = block(f"up_levels.level_{i}.{j}")
+        params[f"merge_{i}"] = {
+            "kernel": _linear(sd[f"down_levels.merge_{i}.1.weight"])
+        }
+        params[f"expand_{i}_linear"] = {
+            "kernel": _linear(sd[f"up_levels.expand_{i}.linear.weight"])
+        }
+        params[f"expand_{i}_alpha"] = sd[f"up_levels.expand_{i}.alpha"]
+    for j in range(mid_depth):
+        params[f"mid_{j}"] = block(f"mid_levels.{j}")
+    return {"params": params}
+
+
+# -------------------------------------------------------------- openai_unet
+
+
+def _glide_attn(sd, prefix):
+    """vendored ``AttentionBlock`` (``openai_unet.py:279-330``): norm +
+    1D-conv qkv/proj_out → GLIDEAttentionBlock params."""
+    return {
+        "norm": _gn(sd, f"{prefix}.norm"),
+        "qkv": _conv1d_as_dense(sd, f"{prefix}.qkv"),
+        "proj_out": _conv1d_as_dense(sd, f"{prefix}.proj_out"),
+    }
+
+
+def _spatial_transformer(sd, prefix, depth=1):
+    """LDM ``SpatialTransformer`` (``attention.py``) → flax params."""
+    def dense_nobias(p):
+        return {"kernel": _linear(sd[f"{p}.weight"])}
+
+    out = {
+        "norm": _gn(sd, f"{prefix}.norm"),
+        "proj_in": _lin(sd, f"{prefix}.proj_in") if f"{prefix}.proj_in.bias" in sd
+        else dense_nobias(f"{prefix}.proj_in"),
+        "proj_out": _lin(sd, f"{prefix}.proj_out")
+        if f"{prefix}.proj_out.bias" in sd
+        else dense_nobias(f"{prefix}.proj_out"),
+    }
+    for d in range(depth):
+        b = f"{prefix}.transformer_blocks.{d}"
+        out[f"block{d}"] = {
+            "norm1": _gn(sd, f"{b}.norm1"),
+            "norm2": _gn(sd, f"{b}.norm2"),
+            "norm3": _gn(sd, f"{b}.norm3"),
+            "attn1": {
+                "to_q": dense_nobias(f"{b}.attn1.to_q"),
+                "to_k": dense_nobias(f"{b}.attn1.to_k"),
+                "to_v": dense_nobias(f"{b}.attn1.to_v"),
+                "to_out": _lin(sd, f"{b}.attn1.to_out.0"),
+            },
+            "attn2": {
+                "to_q": dense_nobias(f"{b}.attn2.to_q"),
+                "to_k": dense_nobias(f"{b}.attn2.to_k"),
+                "to_v": dense_nobias(f"{b}.attn2.to_v"),
+                "to_out": _lin(sd, f"{b}.attn2.to_out.0"),
+            },
+            "ff_geglu": {"proj": _lin(sd, f"{b}.ff.net.0.proj")},
+            "ff_out": _lin(sd, f"{b}.ff.net.2"),
+        }
+    return out
+
+
+def convert_openai_unet(
+    sd: Mapping,
+    channel_mult=(1, 2, 4, 8),
+    num_res_blocks: int = 2,
+    attention_resolutions=(4, 8),
+    resblock_updown: bool = False,
+    use_spatial_transformer: bool = False,
+    transformer_depth: int = 1,
+) -> dict:
+    """Vendored guided-diffusion ``OpenAIUNetModel``
+    (``lidargen/models/unets/openai_unet.py:415-776``) state_dict → flax
+    :class:`~lidarcrafter_tpu.models.openai_unet.OpenAIUNet` params.
+
+    Replays the input/middle/output block-list construction to map list
+    indices onto our named modules — the same recipe as
+    :func:`convert_layout_unet`.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def attn(prefix):
+        if use_spatial_transformer:
+            return _spatial_transformer(sd, prefix, transformer_depth)
+        return _glide_attn(sd, prefix)
+
+    params = {
+        "time_dense1": _lin(sd, "time_embed.0"),
+        "time_dense2": _lin(sd, "time_embed.2"),
+        "in_conv": _conv3(sd, "input_blocks.0.0"),
+        "out_norm": _gn(sd, "out.0"),
+        "out_conv": _conv3(sd, "out.2"),
+    }
+    if "label_emb.weight" in sd:
+        params["label_emb"] = {"embedding": sd["label_emb.weight"]}
+
+    ds, idx = 1, 1
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            params[f"in_{level}_{i}_res"] = _adm_resblock(sd, f"input_blocks.{idx}.0")
+            if ds in attention_resolutions:
+                params[f"in_{level}_{i}_attn"] = attn(f"input_blocks.{idx}.1")
+            idx += 1
+        if level != len(channel_mult) - 1:
+            if resblock_updown:
+                params[f"in_{level}_down"] = _adm_resblock(sd, f"input_blocks.{idx}.0")
+            elif f"input_blocks.{idx}.0.op.weight" in sd:
+                params[f"in_{level}_down"] = {"op": _conv3(sd, f"input_blocks.{idx}.0.op")}
+            idx += 1
+            ds *= 2
+
+    params["mid_res1"] = _adm_resblock(sd, "middle_block.0")
+    params["mid_attn"] = attn("middle_block.1")
+    params["mid_res2"] = _adm_resblock(sd, "middle_block.2")
+
+    idx = 0
+    for level in reversed(range(len(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            params[f"out_{level}_{i}_res"] = _adm_resblock(sd, f"output_blocks.{idx}.0")
+            off = 1
+            if ds in attention_resolutions:
+                params[f"out_{level}_{i}_attn"] = attn(f"output_blocks.{idx}.{off}")
+                off += 1
+            if level and i == num_res_blocks:
+                if resblock_updown:
+                    params[f"out_{level}_up"] = _adm_resblock(
+                        sd, f"output_blocks.{idx}.{off}"
+                    )
+                elif f"output_blocks.{idx}.{off}.conv.weight" in sd:
+                    params[f"out_{level}_up"] = {
+                        "conv": _conv3(sd, f"output_blocks.{idx}.{off}.conv")
+                    }
+                ds //= 2
+            idx += 1
+    return {"params": params}
+
+
+# ---------------------------------------------------------------- refinenet
+
+
+def convert_refinenet(sd: Mapping) -> dict:
+    """``LiDARGenRefineNet`` (``lidargen/models/refinenet.py:157-233``)
+    state_dict → flax params (NCSN legacy backbone)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def conv(p, bias=True):
+        out = {"kernel": _conv(sd[f"{p}.weight"])}
+        if bias:
+            out["bias"] = sd[f"{p}.bias"]
+        return out
+
+    def circ(p, bias=True):
+        return {"Conv_0": conv(p, bias)}
+
+    def inorm(p):
+        return {
+            "alpha": sd[f"{p}.alpha"].reshape(-1),
+            "post_weight": sd[f"{p}.post_affine.weight"].reshape(-1),
+            "post_bias": sd[f"{p}.post_affine.bias"],
+        }
+
+    def resblock(p):
+        # conv2/skip become Sequential(conv, avgpool) when downsampling at
+        # dilation 1 (refinenet.py:79-81) — keys gain a ".0"
+        c2 = f"{p}.conv2.0" if f"{p}.conv2.0.weight" in sd else f"{p}.conv2"
+        out = {
+            "norm1": inorm(f"{p}.norm1"),
+            "conv1": circ(f"{p}.conv1"),
+            "norm2": inorm(f"{p}.norm2"),
+            "conv2": circ(c2),
+        }
+        for sk in (f"{p}.skip.0", f"{p}.skip"):
+            if f"{sk}.weight" in sd:
+                out["skip"] = circ(sk)
+                break
+        return out
+
+    def rcu(p, num_blocks=2, num_stages=2):
+        return {
+            f"b{b}s{s}": circ(f"{p}.units.{b}.{2 * s + 1}", bias=False)
+            for b in range(num_blocks)
+            for s in range(num_stages)
+        }
+
+    def refineblock(p, num_inputs, num_end_blocks=1):
+        out = {}
+        for i in range(num_inputs):
+            out[f"rcu{i}"] = rcu(f"{p}.adaptive_convs.{i}.0")
+            if num_inputs > 1:
+                out[f"adapt{i}"] = circ(f"{p}.adaptive_convs.{i}.1")
+        out["crp"] = {
+            f"crp{s}": circ(f"{p}.crp.convs.{s}.1", bias=False) for s in range(2)
+        }
+        out["out_rcu"] = rcu(f"{p}.output_conv", num_blocks=num_end_blocks)
+        return out
+
+    params = {
+        "in_conv": conv("in_conv"),
+        "out_norm": inorm("out_conv.0"),
+        "out_conv": conv("out_conv.2"),
+    }
+    for d, name in ((1, "d1"), (2, "d2"), (3, "d3"), (4, "d4")):
+        params[f"{name}a"] = resblock(f"d_block{d}.0")
+        params[f"{name}b"] = resblock(f"d_block{d}.1")
+    params["u4"] = refineblock("u_block4", 1)
+    params["u3"] = refineblock("u_block3", 2)
+    params["u2"] = refineblock("u_block2", 2)
+    params["u1"] = refineblock("u_block1", 2, num_end_blocks=3)
+    return {"params": params}

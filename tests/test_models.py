@@ -138,3 +138,35 @@ def test_refinenet_forward():
     out = jax.jit(lambda p, x: m.apply(p, x))(p, x)
     assert out.shape == (1, 16, 32, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_refinenet_converter_reference_parity():
+    """Executed-reference numerical parity of convert_refinenet (LiDARGen
+    legacy NCSN backbone, ``lidargen/models/refinenet.py:157-233``)."""
+    import torch
+
+    from tests.reference_loader import REF, _load
+    from lidarcrafter_tpu.models.refinenet import LiDARGenRefineNet
+    from lidarcrafter_tpu.utils.torch_ckpt import convert_refinenet
+
+    ref_mod = _load(REF / "lidargen/models/refinenet.py", "ref_refinenet")
+    torch.manual_seed(0)
+    ref = ref_mod.LiDARGenRefineNet(
+        in_channels=2, resolution=(16, 32), base_channels=8,
+        channel_multiplier=(1, 2, 2, 2),
+    ).eval()
+
+    B = 2
+    x = torch.randn(B, 2, 16, 32)
+    with torch.no_grad():
+        ref_out = ref(x, torch.zeros(B)).permute(0, 2, 3, 1).numpy()
+
+    model = LiDARGenRefineNet(
+        in_channels=2, resolution=(16, 32), base_channels=8,
+        channel_multiplier=(1, 2, 2, 2),
+    )
+    variables = convert_refinenet(
+        {k: v.numpy() for k, v in ref.state_dict().items()}
+    )
+    out = model.apply(variables, jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4, atol=2e-5)

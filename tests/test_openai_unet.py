@@ -86,3 +86,71 @@ def test_openai_unet_coords_encoding():
     )
     out = _run(model)
     assert out.shape == (2, 16, 32, 2)
+
+
+# ------------------------------------------------- executed-reference parity
+
+
+def _load_ref_openai_unet():
+    """Execute the vendored reference openai_unet.py (never copied) as a
+    package so its relative imports (.basic/.attention/.encoding/.ops)
+    resolve."""
+    import sys
+    import types
+
+    from tests.reference_loader import REF, _load
+
+    pkg = types.ModuleType("refou")
+    pkg.__path__ = [str(REF / "lidargen/models/unets")]
+    sys.modules["refou"] = pkg
+    for name in ("misc_utils", "ldm_diffusion_util", "basic", "encoding",
+                 "ops", "attention"):
+        mod = _load(REF / f"lidargen/models/unets/{name}.py", f"refou.{name}")
+        setattr(pkg, name, mod)
+    return _load(REF / "lidargen/models/unets/openai_unet.py", "refou.openai_unet")
+
+
+def test_openai_unet_converter_reference_parity():
+    """Executed-reference numerical parity of convert_openai_unet on a narrow
+    GLIDE-attention config (class-conditional, resblock_updown=False)."""
+    import torch
+
+    from lidarcrafter_tpu.utils.torch_ckpt import convert_openai_unet
+
+    ref_mod = _load_ref_openai_unet()
+    torch.manual_seed(0)
+    ref = ref_mod.OpenAIUNetModel(
+        resolution=(16, 32), in_channels=2, model_channels=32, out_channels=2,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=16, num_classes=3, dims=2, lib_name='lidm',
+    ).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            if p.abs().max() == 0:
+                p.normal_(0, 0.05)
+
+    B = 2
+    x = torch.randn(B, 2, 16, 32)
+    t = torch.tensor([3.0, 11.0])
+    y = torch.tensor([0, 2])
+    with torch.no_grad():
+        ref_out = ref(
+            x, {"time_condition": t}, y=y
+        ).permute(0, 2, 3, 1).numpy()
+
+    model = OpenAIUNet(
+        resolution=(16, 32), in_channels=2, model_channels=32, out_channels=2,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_head_channels=16, num_classes=3, ring=True,
+    )
+    variables = convert_openai_unet(
+        {k: v.numpy() for k, v in ref.state_dict().items()},
+        channel_mult=(1, 2), num_res_blocks=1, attention_resolutions=(2,),
+    )
+    out = model.apply(
+        variables,
+        jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+        {"time_condition": jnp.asarray(t.numpy())},
+        jnp.asarray(y.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4, atol=2e-5)

@@ -55,6 +55,14 @@ def main():
     parser.add_argument("--synthetic-data", action="store_true")
     parser.add_argument("--sp", type=int, default=1, help="azimuth-parallel mesh axis")
     parser.add_argument("--text-features", default=None, help="CLIP class-text table pkl (object branch)")
+    parser.add_argument(
+        "--resume", nargs="?", const="auto", default=None,
+        help="resume from a checkpoint dir, or (no value) the newest "
+             "ckpt_* in --output-dir; restores params/EMA/optimizer/step "
+             "(cf. train_lidm.py:294-300)",
+    )
+    parser.add_argument("--log-dir", default=None,
+                        help="JSONL/TensorBoard tracker output dir")
     args = parser.parse_args()
 
     from lidarcrafter_tpu.configs import get_config
@@ -81,12 +89,25 @@ def main():
         ds = __all_datasets__[cfg.data.dataset](cfg)
         import numpy as np
 
+        # re-encode edited relationship text at collate time with the
+        # assigner's encoder (cf. nuscenes_dataset.py:571-576); without one,
+        # train-time graph edits would keep stale pre-edit CLIP features
+        encode_fn = getattr(
+            getattr(ds, "scene_graph_assigner", None), "text_encode_fn", None
+        )
+        if encode_fn is None:
+            print("WARNING: no text_encode_fn on the dataset's scene-graph "
+                  "assigner — edited relationships keep pre-edit CLIP features")
+
         def layout_batches():
             B = cfg.training.batch_size_train
             order = np.random.permutation(len(ds))
             while True:
                 for i in range(0, len(order) - B + 1, B):
-                    yield collate_scene_graphs([ds[j] for j in order[i : i + B]])
+                    yield collate_scene_graphs(
+                        [ds[j] for j in order[i : i + B]],
+                        text_encode_fn=encode_fn,
+                    )
                 order = np.random.permutation(len(ds))
 
         trainer = LayoutTrainer(cfg, layout_batches(), mesh=mesh, output_dir=args.output_dir)
@@ -104,7 +125,11 @@ def main():
     else:
         data = synthetic_batches(cfg) if args.synthetic_data else real_batches(cfg)
         trainer = Trainer(cfg, data, mesh=mesh, output_dir=args.output_dir)
-    trainer.train(num_steps=args.num_steps)
+    if args.log_dir:
+        from lidarcrafter_tpu.training.tracker import JsonlTracker
+
+        trainer.tracker = JsonlTracker(args.log_dir)
+    trainer.train(num_steps=args.num_steps, resume=args.resume)
 
 
 if __name__ == "__main__":
