@@ -34,6 +34,15 @@ DTYPE = jnp.bfloat16 if DTYPE_NAME == "bfloat16" else jnp.float32
 NUM_STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 
 
+def _zeros_init(init_fn, *args):
+    """Abstract init → zero-leaf params.  The throughput benches run
+    random-weight models, so zero weights time identically — and eval_shape
+    skips the eager init compile, which costs minutes through the TPU
+    tunnel per model."""
+    shapes = jax.eval_shape(init_fn, *args)
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
 def _fetch(outs):
     # Host fetch of scalars: robust completion barrier (block_until_ready
     # can return early through remote-device tunnels).
@@ -92,7 +101,7 @@ def bench_uncond():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, H, W, 2), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((batch,)))
+    params = _zeros_init(model.init, jax.random.PRNGKey(0), x, jnp.zeros((batch,)))
     if DTYPE == jnp.bfloat16:
         params = jax.tree_util.tree_map(lambda a: a.astype(DTYPE), params)
         engine = dataclasses.replace(
@@ -145,11 +154,16 @@ def _build_cond_stack(name, B=None):
     if B is None:
         B = int(os.environ.get("BENCH_COND_BATCH", "8"))
     batch = cond_batch(B)
-    cond_params = cond_model.init(jax.random.PRNGKey(1), batch)
-    layout = cond_model.apply(cond_params, batch)
-    cd = {"time_condition": jnp.zeros((B,)), "other_condition": layout}
-    model_params = model.init(
-        jax.random.PRNGKey(2), jnp.zeros((B, H, W, 2)), cd
+    cond_params = _zeros_init(cond_model.init, jax.random.PRNGKey(1), batch)
+    layout = jax.eval_shape(cond_model.apply, cond_params, batch)
+    cd = {
+        "time_condition": jnp.zeros((B,)),
+        "other_condition": jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), layout
+        ),
+    }
+    model_params = _zeros_init(
+        model.init, jax.random.PRNGKey(2), jnp.zeros((B, H, W, 2)), cd
     )
     params = {"model": model_params, "cond": cond_params}
     if DTYPE == jnp.bfloat16:
@@ -225,15 +239,28 @@ def main():
 
     extra = {"uncond_cost": cost}
     if os.environ.get("BENCH_FULL", "1") != "0":
+        # most-important-first with a wall budget: cold compiles through the
+        # TPU tunnel can cost minutes each (the persistent cache makes later
+        # runs cheap), so never let a cold sub-bench sink the whole report
+        budget = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+        t_start = time.perf_counter()
+
+        def within_budget():
+            return time.perf_counter() - t_start < budget
+
         try:
             extra["layout_cond_fps_50step_ddim_b8"] = round(bench_layout_cond(B=8), 3)
-            extra["layout_cond_fps_50step_ddim_b1"] = round(bench_layout_cond(B=1), 3)
             s8 = int(os.environ.get("BENCH_ROLLOUT_SCENES", "8"))
-            if s8 > 1:
+            if s8 > 1 and within_budget():
                 _, fps = bench_rollout(scenes=s8)
                 extra[f"rollout_scenes{s8}_frames_per_sec"] = round(fps, 2)
-            wall, _ = bench_rollout(scenes=1)
-            extra["rollout_16frame_wall_s_50step_ddim"] = round(wall, 2)
+            if within_budget():
+                extra["layout_cond_fps_50step_ddim_b1"] = round(
+                    bench_layout_cond(B=1), 3
+                )
+            if within_budget():
+                wall, _ = bench_rollout(scenes=1)
+                extra["rollout_16frame_wall_s_50step_ddim"] = round(wall, 2)
         except Exception as e:  # sub-benches must never sink the headline
             extra["error"] = f"{type(e).__name__}: {e}"
 

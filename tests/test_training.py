@@ -284,7 +284,7 @@ def test_layout_trainer_reference_batch_worst_case():
     )
 
     cfg = get_config("nuscenes-layout")
-    cfg.model.params["model_channels"] = 16
+    cfg.model.params["model_channels"] = 32
     cfg.training.batch_size_train = 2
 
     rng = np.random.RandomState(3)
@@ -329,7 +329,7 @@ def test_layout_trainer_overflow_grows_budgets():
     from lidarcrafter_tpu.training.loop import LayoutTrainer
 
     cfg = get_config("nuscenes-layout")
-    cfg.model.params["model_channels"] = 16
+    cfg.model.params["model_channels"] = 32
     cfg.training.batch_size_train = 2
     rng = np.random.RandomState(4)
 

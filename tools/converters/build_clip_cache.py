@@ -19,7 +19,7 @@ Usage:
       --save_path data/infos/obj_text_feat.pkl
   python tools/converters/build_clip_cache.py warm-cache \
       --clip ViT-B-32.pt --bpe bpe_simple_vocab_16e6.txt.gz \
-      --config nuscenes-box-layout --pkl data/infos/..._train.pkl
+      --config nuscenes-layout --pkl data/infos/..._train.pkl
 """
 
 import argparse
@@ -43,7 +43,10 @@ def main():
     p.add_argument("--clip", required=True, help="CLIP checkpoint (.pt)")
     p.add_argument("--bpe", required=True, help="bpe_simple_vocab_16e6.txt.gz")
     p.add_argument("--save_path", default="data/infos/obj_text_feat.pkl")
-    p.add_argument("--config", default="nuscenes-box-layout")
+    # warm-cache needs a config whose task builds the scene-graph assigner
+    # (layout_generation -> nuscenes-layout); layout_cond configs never
+    # create one (ADVICE r2: AttributeError with the old default)
+    p.add_argument("--config", default="nuscenes-layout")
     p.add_argument("--pkl", help="info pkl for warm-cache")
     p.add_argument("--data_root", default="data/nuscenes")
     p.add_argument("--split", default="train")
@@ -70,6 +73,12 @@ def main():
     if args.pkl:
         cfg.data.pkl_path = args.pkl
     ds = __all_datasets__[cfg.data.dataset](cfg)
+    if not hasattr(ds, "scene_graph_assigner"):
+        raise SystemExit(
+            f"config {args.config!r} (task {cfg.data.task!r}) builds no "
+            "scene-graph assigner - use a layout_generation config such as "
+            "nuscenes-layout"
+        )
     ds.scene_graph_assigner.text_encode_fn = encode_fn
     for i in range(len(ds)):
         ds[i]  # assign_item writes CLIP_%07d.pkl on cache miss
