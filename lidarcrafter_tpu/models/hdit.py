@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from . import encoding as enc
+from .ops import softmax_f32_math
 
 
 def rms_norm(x, scale=None, eps=1e-6):
@@ -154,7 +155,7 @@ class SelfAttention(nn.Module):
             kf = k.reshape(B, H * W, nh, dh).transpose(0, 2, 1, 3)
             vf = v.reshape(B, H * W, nh, dh).transpose(0, 2, 1, 3)
             logits = jnp.einsum("bhtd,bhsd->bhts", qf, kf)
-            w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+            w = softmax_f32_math(logits)
             out = jnp.einsum("bhts,bhsd->bhtd", w, vf)
             out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
         else:
@@ -164,7 +165,7 @@ class SelfAttention(nn.Module):
             k_n = k[:, hh, ww]  # (B, H, W, K, nh, dh)
             v_n = v[:, hh, ww]
             logits = jnp.einsum("bhwnd,bhwknd->bhwnk", q, k_n)
-            w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+            w = softmax_f32_math(logits)
             out = jnp.einsum("bhwnk,bhwknd->bhwnd", w, v_n).reshape(B, H, W, C)
 
         if self.dropout > 0:

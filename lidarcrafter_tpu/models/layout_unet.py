@@ -29,7 +29,7 @@ from flax import linen as nn
 from . import encoding as enc
 from ..utils.lidar import get_linear_ray_angles_np
 from .efficient_unet import TimeEmbedding
-from .ops import GroupNorm32, Resample, RingConv
+from .ops import GroupNorm32, Resample, RingConv, softmax_f32_math
 
 
 def gn32(name=None):
@@ -153,7 +153,7 @@ class GLIDEAttentionBlock(nn.Module):
             v = jnp.concatenate([ev.transpose(0, 2, 1, 3), v], axis=2)
         scale = 1.0 / np.sqrt(np.sqrt(dh))
         logits = jnp.einsum("bhtc,bhsc->bhts", q * scale, k * scale)
-        w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+        w = softmax_f32_math(logits)
         out = jnp.einsum("bhts,bhsc->bhtc", w, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, H * W, C)
         out = nn.Dense(C, kernel_init=nn.initializers.zeros, name="proj_out")(out)
@@ -226,7 +226,7 @@ class ObjectAwareCrossAttention(nn.Module):
 
         scale = 1.0 / np.sqrt(np.sqrt(int((1 + self.channels_scale_for_positional_embedding) * C) // nh))
         logits = jnp.einsum("bhtc,bhsc->bhts", q_img * scale, k_mix * scale)
-        w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
+        w = softmax_f32_math(logits)
         out = jnp.einsum("bhts,bhsc->bhtc", w, v_mix)
         out = out.transpose(0, 2, 1, 3).reshape(B, H * W, C)
         out = nn.Dense(C, kernel_init=nn.initializers.zeros, name="proj_out")(out)
@@ -307,6 +307,9 @@ class LayoutUnetV1(nn.Module):
             self.model_channels, temb_dim, adm=self.adm_time_embed, name="time_embed"
         )(timesteps)
         emb = emb + layout["xf_proj"].astype(emb.dtype)
+        # keep bf16 inference bf16: the f32 sinusoid would otherwise promote
+        # every ResBlock scale/shift - and the whole conv path - to f32
+        emb = emb.astype(x.dtype)
 
         h = x
         if self.use_concat_cond and "concat_cond" in layout:
