@@ -47,7 +47,7 @@ class ResidualAttentionBlock(nn.Module):
             return t.reshape(B, L, self.heads, dh).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        logits = jnp.einsum("bhtc,bhsc->bhts", q, k) / np.sqrt(dh)
+        logits = jnp.einsum("bhtc,bhsc->bhts", q, k) / float(np.sqrt(dh))
         logits = logits + mask[None, None]
         w = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)
         o = jnp.einsum("bhts,bhsc->bhtc", w, v)

@@ -39,7 +39,7 @@ class QKVAttention(nn.Module):
         qkv = qkv.reshape(B, L, self.num_heads, -1)
         ch = width // self.num_heads
         q, k, v = jnp.split(qkv, [ch, 2 * ch], axis=-1)
-        scale = 1.0 / np.sqrt(np.sqrt(ch))
+        scale = float(1.0 / np.sqrt(np.sqrt(ch)))
         logits = jnp.einsum("bthc,bshc->bhts", q * scale, k * scale)
         if key_padding_mask is not None:
             logits = jnp.where(

@@ -151,7 +151,9 @@ class GLIDEAttentionBlock(nn.Module):
             ek, ev = jnp.split(ekv, 2, axis=-1)
             k = jnp.concatenate([ek.transpose(0, 2, 1, 3), k], axis=2)
             v = jnp.concatenate([ev.transpose(0, 2, 1, 3), v], axis=2)
-        scale = 1.0 / np.sqrt(np.sqrt(dh))
+        # python float (weak type): an np scalar would promote bf16 q/k -
+        # and the whole logits array - to f32 (measured at the HBM roof)
+        scale = float(1.0 / np.sqrt(np.sqrt(dh)))
         logits = jnp.einsum("bhtc,bhsc->bhts", q * scale, k * scale)
         w = softmax_f32_math(logits)
         out = jnp.einsum("bhts,bhsc->bhtc", w, v)
@@ -224,7 +226,9 @@ class ObjectAwareCrossAttention(nn.Module):
         k_mix = jnp.concatenate([k_img, k_l], axis=2)  # (B, h, L1+L2, (1+s)dh)
         v_mix = jnp.concatenate([v_c, v_l], axis=2)
 
-        scale = 1.0 / np.sqrt(np.sqrt(int((1 + self.channels_scale_for_positional_embedding) * C) // nh))
+        scale = float(1.0 / np.sqrt(np.sqrt(
+            int((1 + self.channels_scale_for_positional_embedding) * C) // nh
+        )))  # python float: np scalars promote bf16 logits to f32
         logits = jnp.einsum("bhtc,bhsc->bhts", q_img * scale, k_mix * scale)
         w = softmax_f32_math(logits)
         out = jnp.einsum("bhts,bhsc->bhtc", w, v_mix)
