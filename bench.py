@@ -224,8 +224,10 @@ def bench_rollout(frames=int(os.environ.get("BENCH_FRAMES", "15")), scenes=1):
     classes = np.tile(np.arange(1, K + 1, dtype=np.float32), (S, 1))
 
     rng = jax.random.PRNGKey(4)
-    # warmup: 1 frame (compiles every jitted piece)
-    pipeline.rollout(sb, trajs, boxes0, classes, rng, num_frames=1)
+    # warmup with the SAME frame count: the scan trip count is baked into the
+    # executable, so a 1-frame warmup would leave the timed run paying the
+    # T-frame compile (or cache deserialize) through the TPU tunnel
+    pipeline.rollout(sb, trajs, boxes0, classes, rng, num_frames=frames)
     t0 = time.perf_counter()
     out = pipeline.rollout(sb, trajs, boxes0, classes, rng, num_frames=frames)
     dt = time.perf_counter() - t0

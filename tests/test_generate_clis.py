@@ -15,7 +15,10 @@ def _run(args, timeout=560):
 
 
 def test_generate_flow_cli(tmp_path):
-    r = _run(["tools/generate_flow.py", "-n", "1",
+    # --base-channels 16 keeps the CPU compile under a minute: at production
+    # width this smoke compiled for 442 s and flaked against the timeout
+    # under load (VERDICT r2 weak #6)
+    r = _run(["tools/generate_flow.py", "-n", "1", "--base-channels", "16",
               "--resolution", "32", "64", "-o", str(tmp_path)])
     assert r.returncode == 0, r.stderr[-1500:]
     assert (tmp_path / "flow_sample_0000.txt").exists()

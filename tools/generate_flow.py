@@ -21,6 +21,9 @@ def main():
     parser.add_argument("--ema", action="store_true")
     parser.add_argument("--resolution", type=int, nargs=2, default=None,
                         help="override H W (smoke runs)")
+    parser.add_argument("--base-channels", type=int, default=None,
+                        help="override model width (smoke runs; incompatible "
+                             "with --ckpt)")
     args = parser.parse_args()
 
     import numpy as np
@@ -43,6 +46,10 @@ def main():
     cfg = get_config(args.cfg)
     if args.resolution:
         cfg.data.resolution = tuple(args.resolution)
+    if args.base_channels:
+        if args.ckpt:
+            raise SystemExit("--base-channels would mismatch --ckpt weights")
+        cfg.model.params["base_channels"] = args.base_channels
     if getattr(cfg, "flow", None) is None:
         raise SystemExit(f"{args.cfg} is not a flow config")
     model, engine, lidar_utils = build_flow_training(cfg)
