@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from . import encoding as enc
+from ..ops.pallas_attention import attention_bhld, use_fused_attention
 from ..utils.lidar import get_linear_ray_angles_np
 from .efficient_unet import TimeEmbedding
 from .ops import GroupNorm32, Resample, RingConv, softmax_f32_math
@@ -154,9 +155,12 @@ class GLIDEAttentionBlock(nn.Module):
         # python float (weak type): an np scalar would promote bf16 q/k -
         # and the whole logits array - to f32 (measured at the HBM roof)
         scale = float(1.0 / np.sqrt(np.sqrt(dh)))
-        logits = jnp.einsum("bhtc,bhsc->bhts", q * scale, k * scale)
-        w = softmax_f32_math(logits)
-        out = jnp.einsum("bhts,bhsc->bhtc", w, v)
+        if use_fused_attention(H * W):
+            out = attention_bhld(q * scale, k * scale, v)
+        else:
+            logits = jnp.einsum("bhtc,bhsc->bhts", q * scale, k * scale)
+            w = softmax_f32_math(logits)
+            out = jnp.einsum("bhts,bhsc->bhtc", w, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, H * W, C)
         out = nn.Dense(C, kernel_init=nn.initializers.zeros, name="proj_out")(out)
         return (tokens + out).reshape(B, H, W, C)
@@ -229,9 +233,12 @@ class ObjectAwareCrossAttention(nn.Module):
         scale = float(1.0 / np.sqrt(np.sqrt(
             int((1 + self.channels_scale_for_positional_embedding) * C) // nh
         )))  # python float: np scalars promote bf16 logits to f32
-        logits = jnp.einsum("bhtc,bhsc->bhts", q_img * scale, k_mix * scale)
-        w = softmax_f32_math(logits)
-        out = jnp.einsum("bhts,bhsc->bhtc", w, v_mix)
+        if use_fused_attention(H * W):
+            out = attention_bhld(q_img * scale, k_mix * scale, v_mix)
+        else:
+            logits = jnp.einsum("bhtc,bhsc->bhts", q_img * scale, k_mix * scale)
+            w = softmax_f32_math(logits)
+            out = jnp.einsum("bhts,bhsc->bhtc", w, v_mix)
         out = out.transpose(0, 2, 1, 3).reshape(B, H * W, C)
         out = nn.Dense(C, kernel_init=nn.initializers.zeros, name="proj_out")(out)
         return (tokens + out).reshape(B, H, W, C)

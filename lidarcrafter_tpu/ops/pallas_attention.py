@@ -1,0 +1,150 @@
+"""Fused (flash-style) attention kernel for the layout denoiser's hot blocks.
+
+The conditional sampler's dominant non-conv cost is the ds=4
+``ObjectAwareCrossAttention``: 5 blocks × 50 steps materialize a
+(B·h, 2048, 2048+L2) logits tensor in HBM three times over (QK write,
+softmax read/write, AV read) — ~1.3 GB of traffic per block-step at B=8
+(measured round 3, BASELINE.md).  This kernel keeps the logits tile in VMEM:
+each grid program loads one query tile plus the FULL key/value strip
+(2048+pad keys × 64ch bf16 ≈ 0.3 MB — far under the ~16 MB VMEM budget),
+computes logits on the MXU with f32 accumulation, softmaxes in-register and
+writes only the (block_q, dv) output.  No online-softmax pass structure is
+needed because the whole KV strip fits in VMEM at these shapes.
+
+Numerics: logits accumulate in f32 on the MXU (the XLA path rounds them to
+bf16 storage first), softmax is f32, and the probability matrix is cast to
+the value dtype for the AV matmul — i.e. at least as accurate as the
+unfused ``softmax_f32_math`` path it replaces.
+
+Not a port: the reference's attention is cuDNN-backed torch SDPA
+(``lidargen/models/unets/layout_unet_v1.py:555-592``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU-enabled jaxlib builds
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
+    q = q_ref[0]  # (block_q, dqk)  — pre-scaled by the caller
+    k = k_ref[0]  # (Lkv_pad, dqk)
+    v = v_ref[0]  # (Lkv_pad, dv)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, Lkv_pad)
+    if kv_len < k.shape[0]:
+        idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(idx < kv_len, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    w = jnp.exp(logits - m)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        w.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kv_len", "block_q", "interpret"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    kv_len: int | None = None,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Softmax(q kᵀ) v with the logits kept in VMEM.
+
+    Args:
+      q: (BH, Lq, dqk) queries, already scaled (the caller applies the
+         1/sqrt(sqrt(d)) convention to q AND k, matching the XLA path).
+      k: (BH, Lkv, dqk) keys; ``kv_len`` < Lkv masks the padded tail.
+      v: (BH, Lkv, dv) values.
+      kv_len: number of real keys (default: all of Lkv).
+      block_q: query rows per grid program (logits tile = block_q × Lkv f32).
+
+    Returns (BH, Lq, dv) in q's dtype.
+    """
+    BH, Lq, dqk = q.shape
+    Lkv = k.shape[1]
+    dv = v.shape[2]
+    kv_len = Lkv if kv_len is None else int(kv_len)
+    block_q = min(block_q, Lq)
+    assert Lq % block_q == 0, (Lq, block_q)
+
+    kernel = functools.partial(_attn_kernel, kv_len=kv_len)
+    return pl.pallas_call(
+        kernel,
+        grid=(BH, Lq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dqk), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Lkv, dqk), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Lkv, dv), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dv), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Lq, dv), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def attention_bhld(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, heads, L, d) convenience wrapper: flattens batch·heads, zero-pads
+    the KV strip to a lane multiple (masked via ``kv_len``) and restores the
+    head axis.  The caller pre-scales q and k (the blocks' 1/sqrt(sqrt(d))
+    convention applied to both operands)."""
+    B, h, Lq, dqk = q.shape
+    Lkv = k.shape[2]
+    dv = v.shape[3]
+    pad = (-Lkv) % 128
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    out = flash_attention(
+        q.reshape(B * h, Lq, dqk),
+        k.reshape(B * h, Lkv + pad, dqk),
+        v.reshape(B * h, Lkv + pad, dv),
+        kv_len=Lkv,
+        block_q=block_q,
+        interpret=interpret,
+    )
+    return out.reshape(B, h, Lq, dv)
+
+
+def use_fused_attention(Lq: int, block_q: int = 256) -> bool:
+    """Route the layout attention blocks through the Mosaic kernel?
+
+    True on a TPU backend (incl. the ``axon`` tunnel) for tile-divisible
+    query lengths, unless disabled via ``LCT_FUSED_ATTN=0``.  CPU (the test
+    suite / virtual multichip dryrun) keeps the plain-XLA path.
+    """
+    import os
+
+    if os.environ.get("LCT_FUSED_ATTN", "1") == "0":
+        return False
+    if not _HAS_PLTPU or Lq % min(block_q, Lq) != 0:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False

@@ -1,0 +1,77 @@
+"""Fused (flash-style) layout attention kernel — interpret-mode semantics.
+
+The Mosaic kernel itself only compiles on a TPU backend (validated on-chip
+round 3: forward identical to the XLA path at bf16, +40% conditional-sampler
+throughput).  CI runs on CPU, so here the kernel body executes in pallas
+interpret mode, which pins its *semantics* (tiling, kv masking, f32 softmax)
+exactly against the blocks' einsum formulation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lidarcrafter_tpu.ops.pallas_attention import (
+    attention_bhld,
+    flash_attention,
+    use_fused_attention,
+)
+
+
+def _ref(q, k, v):
+    logits = jnp.einsum("bhtc,bhsc->bhts", q, k)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bhsc->bhtc", w, v)
+
+
+@pytest.mark.parametrize(
+    "B,h,Lq,Lkv,dqk,dv",
+    [
+        (2, 2, 256, 269, 64, 32),   # OACA shape class: kv = Lq + 13 layout tokens
+        (1, 4, 256, 141, 32, 32),   # GLIDE shape class: kv = Lq/2 + 13
+        (2, 1, 512, 512, 64, 64),   # no padding needed
+    ],
+)
+def test_attention_bhld_matches_einsum(B, h, Lq, Lkv, dqk, dv):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, h, Lq, dqk), jnp.float32)
+    k = jax.random.normal(ks[1], (B, h, Lkv, dqk), jnp.float32)
+    v = jax.random.normal(ks[2], (B, h, Lkv, dv), jnp.float32)
+    got = attention_bhld(q, k, v, interpret=True)
+    ref = _ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_masks_padded_tail():
+    """Zero-padded keys must not leak probability mass."""
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    BH, Lq, Lkv, d = 2, 256, 200, 32
+    pad = 56
+    q = jax.random.normal(ks[0], (BH, Lq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (BH, Lkv, d), jnp.float32)
+    v = jax.random.normal(ks[2], (BH, Lkv, d), jnp.float32)
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+    # poison the padded value rows: they must be ignored entirely
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0)), constant_values=1e6)
+    got = flash_attention(q, kp, vp, kv_len=Lkv, interpret=True)
+    w = jax.nn.softmax(jnp.einsum("btc,bsc->bts", q, k).astype(jnp.float32), -1)
+    ref = jnp.einsum("bts,bsc->btc", w, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_attention_disabled_on_cpu():
+    # CI pins jax to CPU (conftest): the model blocks must keep the XLA path
+    assert jax.default_backend() == "cpu"
+    assert not use_fused_attention(2048)
+
+
+def test_block_q_clamps_to_short_query():
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (1, 2, 128, 32), jnp.float32)
+    k = jax.random.normal(ks[1], (1, 2, 141, 32), jnp.float32)
+    v = jax.random.normal(ks[2], (1, 2, 141, 32), jnp.float32)
+    got = attention_bhld(q, k, v, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_ref(q, k, v)), atol=2e-5, rtol=2e-5
+    )
