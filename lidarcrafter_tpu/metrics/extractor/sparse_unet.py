@@ -223,7 +223,9 @@ class SPVCNN(_SparseUNetBase):
 
         f = point_to_voxel_mean(z2, pts_vox, point_mask, c, m, level=2)
         f, c, m = self.decoder_step(3, f, c, m, levels[1])
-        f, c, m = self.decoder_step(4, f, c, m, levels[0])
+        # up4's skip is the STEM output x0, not the re-voxelized point
+        # features the encoder started from (``spvcnn/model.py:163-165``)
+        f, c, m = self.decoder_step(4, f, c, m, (x0, vc, vm))
 
         z3 = voxel_to_point_trilinear(f, c, m, pts_vox, point_mask, level=0)
         pt2 = nn.relu(FrozenBN(name="pt2_bn")(
@@ -240,11 +242,20 @@ class SPVCNN(_SparseUNetBase):
 
 
 def _tap_perm(k: int):
-    """torchsparse v1.4 enumerates kernel offsets x-fastest
-    (``[[x, y, z] for z ... for y ... for x ...]``); ours are ij-meshgrid
-    (z-fastest).  Returns ``perm`` with ``ours[i] = torch[perm[i]]``."""
+    """Kernel-tap reordering torchsparse v1.4 → ours (ij-meshgrid, z-fastest).
+
+    torchsparse's ``get_kernel_offsets`` enumeration is parity-dependent:
+    ODD kernels are x-fastest (the MinkowskiEngine-compatible weight layout),
+    EVEN kernels are z-fastest — pinned by ``calc_ti_weights``, whose corner
+    weights w0..w7 are ordered with z as the LSB and must align row-for-row
+    with ``get_kernel_offsets(2, ...)`` for its trilinear devoxelize to be
+    correct.  Even kernels therefore match our order exactly (identity);
+    odd kernels need the x<->z swap.  Returns ``perm`` with
+    ``ours[i] = torch[perm[i]]``."""
     import numpy as np
 
+    if k % 2 == 0:
+        return np.arange(k**3)
     perm = []
     for x in range(k):
         for y in range(k):

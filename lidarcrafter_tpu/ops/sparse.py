@@ -307,8 +307,10 @@ def voxel_to_point_trilinear(
     ``calc_ti_weights``, ``ts/utils.py:63-91``).
 
     Corner voxels are ``floor(p/s) + {0,1}^3`` with product weights from the
-    fractional part; absent corners contribute zero (weights NOT renormalised,
-    matching ``spdevoxelize``).
+    fractional part; absent corners get weight 0 and the surviving weights
+    are renormalised by their sum (+1e-8), matching ``calc_ti_weights``'
+    ``w[idx==-1]=0; w /= sum(w)+1e-8`` — a boundary point interpolates only
+    from the corners that exist instead of being attenuated.
     """
     s = float(2**level)
     p = pts_vox / s
@@ -320,13 +322,17 @@ def voxel_to_point_trilinear(
     feats_m = jnp.where(vox_mask[:, None], vox_feats, 0.0)
 
     out = jnp.zeros((pts_vox.shape[0], vox_feats.shape[-1]), vox_feats.dtype)
+    wsum = jnp.zeros((pts_vox.shape[0],), vox_feats.dtype)
     for i in range(8):
         off = jnp.array([(i >> 2) & 1, (i >> 1) & 1, i & 1], jnp.int32)
         w = jnp.prod(jnp.where(off[None] == 1, frac, 1.0 - frac), axis=-1)
         qhi, qlo = _masked_keys(p0 + off[None], point_mask, sentinel=_KEY_MAX - 1)
         nbr = _neighbor_lookup(shi, slo, sidx, qhi, qlo)
         hit = nbr >= 0
-        out = out + feats_m[jnp.clip(nbr, 0)] * (w * hit)[:, None]
+        w = w * hit
+        out = out + feats_m[jnp.clip(nbr, 0)] * w[:, None]
+        wsum = wsum + w
+    out = out / (wsum + 1e-8)[:, None]
     return jnp.where(point_mask[:, None], out, 0.0)
 
 
