@@ -189,7 +189,7 @@ def _build_cond_stack(name, B=None):
     return cfg, engine, params, batch, B, lidar_utils
 
 
-def bench_layout_cond(name="nuscenes-auto-reg-v2", B=None):
+def bench_layout_cond(name="nuscenes-auto-reg-v2", B=None, with_cost=False):
     """Layout-conditioned (flagship conditional) sampling f/s."""
     _, engine, params, batch, B, _ = _build_cond_stack(name, B=B)
     rng = jax.random.PRNGKey(3)
@@ -199,7 +199,10 @@ def bench_layout_cond(name="nuscenes-auto-reg-v2", B=None):
             params, rng, batch, batch_size=B, num_steps=NUM_STEPS, mode="ddim"
         )
 
-    return _median_rate(sample, rng, B, reps=2, rounds=2)
+    rate = _median_rate(sample, rng, B, reps=2, rounds=2)
+    if with_cost:
+        return rate, _cost_stats(sample, rng, B / rate)
+    return rate
 
 
 def bench_rollout(frames=int(os.environ.get("BENCH_FRAMES", "15")), scenes=1):
@@ -263,7 +266,9 @@ def main():
             return time.perf_counter() - t_start < budget
 
         try:
-            extra["layout_cond_fps_50step_ddim_b8"] = round(bench_layout_cond(B=8), 3)
+            rate_b8, cond_cost = bench_layout_cond(B=8, with_cost=True)
+            extra["layout_cond_fps_50step_ddim_b8"] = round(rate_b8, 3)
+            extra["cond_cost"] = cond_cost
             s8 = int(os.environ.get("BENCH_ROLLOUT_SCENES", "8"))
             if s8 > 1 and within_budget():
                 _, fps = bench_rollout(scenes=s8)

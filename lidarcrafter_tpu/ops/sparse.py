@@ -118,7 +118,7 @@ def voxelize(
     slot = jnp.cumsum(first) - 1  # voxel slot per sorted point
     V = jnp.sum(first)
     # voxel table
-    vmask = jnp.arange(max_voxels) < V
+    vmask = jnp.arange(max_voxels) < jnp.minimum(V, max_voxels)
     coords_out = jnp.zeros((max_voxels, 3), jnp.int32)
     src_out = jnp.zeros((max_voxels,), jnp.int32)
     write = jnp.where(first, slot, max_voxels)
