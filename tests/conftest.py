@@ -20,3 +20,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the CLI-subprocess smokes and the big parity
+# models cost minutes of XLA:CPU compile cold, seconds warm
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

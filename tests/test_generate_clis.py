@@ -1,5 +1,13 @@
-"""Subprocess smoke tests for the generation CLIs at reduced resolution."""
+"""Subprocess smoke tests for the generation CLIs at reduced resolution.
 
+The CLIs run hermetically on the CPU backend (``LCT_PLATFORM=cpu``): by
+default they'd pick up the axon TPU tunnel, making the smoke depend on a
+shared remote chip — observed to hang at interpreter teardown AFTER the tool
+wrote its outputs (r3: the flow smoke finished its work, then sat in tunnel
+client shutdown past the 560 s limit).
+"""
+
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -8,9 +16,10 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 def _run(args, timeout=560):
+    env = dict(os.environ, LCT_PLATFORM="cpu")
     return subprocess.run(
         [sys.executable, *args], cwd=REPO, capture_output=True, text=True,
-        timeout=timeout,
+        timeout=timeout, env=env,
     )
 
 

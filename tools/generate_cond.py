@@ -42,6 +42,8 @@ def main():
 
     import jax
 
+    if _os.environ.get("LCT_PLATFORM"):  # hermetic CLI smokes force cpu
+        jax.config.update("jax_platforms", _os.environ["LCT_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       _os.path.expanduser("~/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
