@@ -17,6 +17,25 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas_attention import attention_bhld, use_fused_attention
+
+
+def fused_attention_fn(query, key, value, *args, **kwargs):
+    """Drop-in ``attention_fn`` for ``nn.MultiHeadDotProductAttention`` that
+    keeps the softmax logits in VMEM (``ops/pallas_attention.py``).
+
+    flax layout (B, L, heads, head_dim) in/out; the 1/sqrt(d) scaling is
+    applied two-sided as 1/sqrt(sqrt(d)) on q AND k (same product, keeps
+    bf16 operands in range).  Bias/mask/dropout are unused by our blocks.
+    """
+    d = query.shape[-1]
+    scale = 1.0 / math.sqrt(math.sqrt(d))
+    q = jnp.transpose(query, (0, 2, 1, 3)) * scale
+    k = jnp.transpose(key, (0, 2, 1, 3)) * scale
+    v = jnp.transpose(value, (0, 2, 1, 3))
+    out = attention_bhld(q, k, v, interpret=kwargs.get("interpret", False))
+    return jnp.transpose(out, (0, 2, 1, 3))
+
 
 def ring_pad(
     x: jnp.ndarray, pad: int | tuple[int, int, int, int], ring: bool = True
@@ -209,6 +228,11 @@ class SelfAttention2d(nn.Module):
             qkv_features=C,
             out_features=C,
             out_kernel_init=nn.initializers.zeros,
+            attention_fn=(
+                fused_attention_fn
+                if use_fused_attention(H * W)
+                else nn.dot_product_attention
+            ),
         )(h, h)
         h = h.reshape(B, H, W, C)
         return (x + h) * self.scale

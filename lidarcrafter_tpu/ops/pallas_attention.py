@@ -64,7 +64,7 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     kv_len: int | None = None,
-    block_q: int = 256,
+    block_q: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Softmax(q kᵀ) v with the logits kept in VMEM.
@@ -75,7 +75,10 @@ def flash_attention(
       k: (BH, Lkv, dqk) keys; ``kv_len`` < Lkv masks the padded tail.
       v: (BH, Lkv, dv) values.
       kv_len: number of real keys (default: all of Lkv).
-      block_q: query rows per grid program (logits tile = block_q × Lkv f32).
+      block_q: query rows per grid program (logits tile = block_q × Lkv f32);
+         512 measured best on-chip at the production 2048×2176 shapes
+         (1.668 ms vs 1.742 @ 256, 1.981 @ 128; 1024 is 2% faster still
+         but doubles the ~4.5 MB VMEM logits tile).
 
     Returns (BH, Lq, dv) in q's dtype.
     """
@@ -106,7 +109,7 @@ def attention_bhld(
     k: jnp.ndarray,
     v: jnp.ndarray,
     *,
-    block_q: int = 256,
+    block_q: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, heads, L, d) convenience wrapper: flattens batch·heads, zero-pads
@@ -131,7 +134,7 @@ def attention_bhld(
     return out.reshape(B, h, Lq, dv)
 
 
-def use_fused_attention(Lq: int, block_q: int = 256) -> bool:
+def use_fused_attention(Lq: int, block_q: int = 512) -> bool:
     """Route the layout attention blocks through the Mosaic kernel?
 
     True on a TPU backend (incl. the ``axon`` tunnel) for tile-divisible

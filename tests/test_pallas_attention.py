@@ -75,3 +75,21 @@ def test_block_q_clamps_to_short_query():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(_ref(q, k, v)), atol=2e-5, rtol=2e-5
     )
+
+
+def test_fused_attention_fn_matches_flax_mha():
+    """`fused_attention_fn` (flax MHA attention_fn hook, used by
+    SelfAttention2d on TPU) must equal nn.dot_product_attention."""
+    from flax import linen as nn
+
+    from lidarcrafter_tpu.models.ops import fused_attention_fn
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    B, L, h, d = 2, 512, 8, 64
+    q = jax.random.normal(ks[0], (B, L, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (B, L, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (B, L, h, d), jnp.float32)
+    got = fused_attention_fn(q, k, v, interpret=True)
+    ref = nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
