@@ -20,14 +20,17 @@ from flax import linen as nn
 from ..ops.pallas_attention import attention_bhld, use_fused_attention
 
 
-def fused_attention_fn(query, key, value, *args, **kwargs):
+def fused_attention_fn(query, key, value, bias=None, mask=None, **kwargs):
     """Drop-in ``attention_fn`` for ``nn.MultiHeadDotProductAttention`` that
     keeps the softmax logits in VMEM (``ops/pallas_attention.py``).
 
     flax layout (B, L, heads, head_dim) in/out; the 1/sqrt(d) scaling is
     applied two-sided as 1/sqrt(sqrt(d)) on q AND k (same product, keeps
-    bf16 operands in range).  Bias/mask/dropout are unused by our blocks.
+    bf16 operands in range).  The kernel has no bias/mask support — our
+    blocks never pass them; fail loudly rather than silently dropping one.
     """
+    if bias is not None or mask is not None:
+        raise NotImplementedError("fused_attention_fn: bias/mask unsupported")
     d = query.shape[-1]
     scale = 1.0 / math.sqrt(math.sqrt(d))
     q = jnp.transpose(query, (0, 2, 1, 3)) * scale
