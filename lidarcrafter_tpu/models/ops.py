@@ -275,9 +275,15 @@ class MFSelfAttention2d(nn.Module):
 
         q = rms(q, "q_norm_g") * dh**-0.5
         k = rms(k, "k_norm_g")
-        logits = jnp.einsum("blhd,bmhd->bhlm", q, k)
-        w = nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhlm,bmhd->blhd", w, v).reshape(B, H * W, C)
+        if use_fused_attention(H * W):
+            out = attention_bhld(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+            ).transpose(0, 2, 1, 3).reshape(B, H * W, C)
+        else:
+            logits = jnp.einsum("blhd,bmhd->bhlm", q, k)
+            w = nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhlm,bmhd->blhd", w, v).reshape(B, H * W, C)
         out = nn.Dense(C, name="proj")(out)
         return (x + out.reshape(B, H, W, C)) * self.scale
 

@@ -56,7 +56,8 @@ def nn_min_dist_pallas(
     N and M are padded to the tile sizes internally.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # the axon tunnel IS a TPU backend (Mosaic compiles through it, r3)
+        interpret = jax.default_backend() not in ("tpu", "axon")
     N, D = x.shape
     M = y.shape[0]
     if y_mask is None:
