@@ -25,6 +25,7 @@ from typing import Any
 
 import numpy as np
 
+from ..native import native_enabled, project_range_image_native
 from ..ops.projection import convert_boxes_to_2d, points_to_range_image
 from . import transforms as T
 from .rollout import compute_inter_frame_transforms  # noqa: F401  (re-export)
@@ -104,11 +105,17 @@ class NuscDataset:
     def project(self, points: np.ndarray) -> dict:
         """Point cloud → range-image channels; cf. ``nuscenes_dataset.py:476-487``.
 
-        Output arrays are HWC.
+        Output arrays are HWC.  Prefers the native C++ kernel
+        (``native/src/range_projection.cpp``): same winner semantics, runs on
+        the host for ANY point count (the jitted jnp path recompiles per
+        distinct N, and would round-trip a remote-TPU default backend per
+        sample) and releases the GIL for the threaded ``PrefetchLoader``.
+        ``LCT_NATIVE=0`` forces the JAX path.
         """
         H, W = self.resolution
-        img = np.asarray(
-            points_to_range_image(
+        img = None
+        if native_enabled():
+            img = project_range_image_native(
                 points,
                 H=H,
                 W=W,
@@ -117,7 +124,18 @@ class NuscDataset:
                 fov_up=self.data_cfg.fov_up,
                 fov_down=self.data_cfg.fov_down,
             )
-        )
+        if img is None:
+            img = np.asarray(
+                points_to_range_image(
+                    points,
+                    H=H,
+                    W=W,
+                    min_depth=self.data_cfg.min_depth,
+                    max_depth=self.data_cfg.max_depth,
+                    fov_up=self.data_cfg.fov_up,
+                    fov_down=self.data_cfg.fov_down,
+                )
+            )
         img = img * img[..., 5:6]
         return {
             "xyz": img[..., :3],

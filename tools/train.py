@@ -32,18 +32,28 @@ def synthetic_batches(cfg):
         yield batch
 
 
-def real_batches(cfg):
+def real_batches(cfg, num_workers: int = 0):
     from lidarcrafter_tpu.datasets import __all_datasets__
 
     ds = __all_datasets__[cfg.data.dataset](cfg)
+    B = cfg.training.batch_size_train
+    if num_workers > 0:
+        # threaded prefetch over the native projection (GIL-released IO +
+        # C++ kernel); cf. the reference's DataLoader(num_workers=...)
+        # (train_lidm.py:125)
+        from lidarcrafter_tpu.native.loader import PrefetchLoader
+
+        return iter(PrefetchLoader(ds, B, num_workers=num_workers))
     import numpy as np
 
-    B = cfg.training.batch_size_train
-    order = np.random.permutation(len(ds))
-    while True:
-        for i in range(0, len(order) - B + 1, B):
-            yield ds.collate_fn([ds[j] for j in order[i : i + B]])
+    def gen():
         order = np.random.permutation(len(ds))
+        while True:
+            for i in range(0, len(order) - B + 1, B):
+                yield ds.collate_fn([ds[j] for j in order[i : i + B]])
+            order = np.random.permutation(len(ds))
+
+    return gen()
 
 
 def main():
@@ -54,6 +64,8 @@ def main():
     parser.add_argument("--output-dir", default=None)
     parser.add_argument("--synthetic-data", action="store_true")
     parser.add_argument("--sp", type=int, default=1, help="azimuth-parallel mesh axis")
+    parser.add_argument("--workers", type=int, default=2,
+                        help="prefetch threads for real data (0 = synchronous)")
     parser.add_argument("--text-features", default=None, help="CLIP class-text table pkl (object branch)")
     parser.add_argument(
         "--resume", nargs="?", const="auto", default=None,
@@ -80,7 +92,7 @@ def main():
 
     mesh = make_mesh(sp=args.sp)
     if getattr(cfg, "flow", None) is not None:
-        data = synthetic_batches(cfg) if args.synthetic_data else real_batches(cfg)
+        data = synthetic_batches(cfg) if args.synthetic_data else real_batches(cfg, args.workers)
         trainer = FlowTrainer(cfg, data, mesh=mesh, output_dir=args.output_dir)
     elif getattr(cfg.data, "task", None) == "layout_generation" and cfg.model.architecture == "unet_1d":
         from lidarcrafter_tpu.datasets import __all_datasets__
@@ -115,7 +127,7 @@ def main():
         import numpy as np
         import pickle
 
-        data = real_batches(cfg)
+        data = real_batches(cfg, args.workers)
         text = (
             pickle.load(open(args.text_features, "rb"))
             if args.text_features
@@ -123,7 +135,7 @@ def main():
         )
         trainer = ObjectTrainer(cfg, data, text, mesh=mesh, output_dir=args.output_dir)
     else:
-        data = synthetic_batches(cfg) if args.synthetic_data else real_batches(cfg)
+        data = synthetic_batches(cfg) if args.synthetic_data else real_batches(cfg, args.workers)
         trainer = Trainer(cfg, data, mesh=mesh, output_dir=args.output_dir)
     if args.log_dir:
         from lidarcrafter_tpu.training.tracker import JsonlTracker
