@@ -56,6 +56,12 @@ def test_layout_cond_sample_with_boxes(server):
     assert len(out["depth"]) == 32 and len(out["depth"][0]) == 64
 
 
+def test_autoreg_sample_roundtrip(server):
+    out = _post(server, {"config": "nuscenes-auto-reg-v2", "steps": 2,
+                         "mode": "ddim", "seed": 0})
+    assert len(out["depth"]) == 32 and len(out["depth"][0]) == 64
+
+
 def test_unknown_config_is_client_error(server):
     req = urllib.request.Request(
         server + "/api/sample",
