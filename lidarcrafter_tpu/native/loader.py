@@ -46,6 +46,11 @@ class PrefetchLoader:
         queue_depth: int = 4,
         seed: int = 0,
     ):
+        if len(dataset) < batch_size:
+            raise ValueError(
+                f"dataset ({len(dataset)}) smaller than one batch "
+                f"({batch_size}) — drop_last semantics would yield nothing"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate if collate is not None else dataset.collate_fn

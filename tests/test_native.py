@@ -104,3 +104,8 @@ def test_prefetch_loader_matches_sync(workers):
             want.append(ds.collate_fn([ds[int(j)] for j in order[i : i + B]]))
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g["x"], w["x"])
+
+
+def test_prefetch_loader_rejects_tiny_dataset():
+    with pytest.raises(ValueError):
+        PrefetchLoader(_FakeDS(n=3), batch_size=4)
