@@ -118,7 +118,11 @@ def voxelize(
     slot = jnp.cumsum(first) - 1  # voxel slot per sorted point
     V = jnp.sum(first)
     # voxel table
-    vmask = jnp.arange(max_voxels) < jnp.minimum(V, max_voxels)
+    # overflow = silent truncation of the key-order tail: slots are
+    # contiguous from 0, so when V > max_voxels every kept row HAS been
+    # written (writes for slots >= max_voxels drop); arange < V marks
+    # exactly the written rows either way
+    vmask = jnp.arange(max_voxels) < V
     coords_out = jnp.zeros((max_voxels, 3), jnp.int32)
     src_out = jnp.zeros((max_voxels,), jnp.int32)
     write = jnp.where(first, slot, max_voxels)
@@ -200,7 +204,10 @@ def sparse_downsample2(
     ) & (shi_p < _KEY_MAX)
     slot = jnp.cumsum(first) - 1
     n_out = jnp.sum(first)
-    out_mask = jnp.arange(max_voxels) < jnp.minimum(n_out, max_voxels)
+    # slots are contiguous from 0: rows < max_voxels are always written,
+    # so overflow (n_out > max_voxels) truncates the tail, never marks
+    # unwritten rows valid
+    out_mask = jnp.arange(max_voxels) < n_out
     out_coords = jnp.zeros((max_voxels, 3), jnp.int32)
     write = jnp.where(first, slot, max_voxels)
     out_coords = out_coords.at[write].set(parent[order], mode="drop")
@@ -433,7 +440,10 @@ def sparse_conv3d_strided(
     ) & (shi < _KEY_MAX)
     slot = jnp.cumsum(first) - 1
     n_out = jnp.sum(first)
-    out_mask = jnp.arange(max_voxels) < jnp.minimum(n_out, max_voxels)
+    # slots are contiguous from 0: rows < max_voxels are always written,
+    # so overflow (n_out > max_voxels) truncates the tail, never marks
+    # unwritten rows valid
+    out_mask = jnp.arange(max_voxels) < n_out
     out_coords = jnp.zeros((max_voxels, 3), jnp.int32)
     write = jnp.where(first, slot, max_voxels)
     out_coords = out_coords.at[write].set(cands[order], mode="drop")
@@ -492,7 +502,11 @@ def voxelize_coords_mean(
     ) & (shi < _KEY_MAX)
     slot = jnp.cumsum(first) - 1
     V = jnp.sum(first)
-    vmask = jnp.arange(max_voxels) < jnp.minimum(V, max_voxels)
+    # overflow = silent truncation of the key-order tail: slots are
+    # contiguous from 0, so when V > max_voxels every kept row HAS been
+    # written (writes for slots >= max_voxels drop); arange < V marks
+    # exactly the written rows either way
+    vmask = jnp.arange(max_voxels) < V
     coords_out = jnp.zeros((max_voxels, 3), jnp.int32)
     write = jnp.where(first, slot, max_voxels)
     coords_out = coords_out.at[write].set(coords_int[order], mode="drop")

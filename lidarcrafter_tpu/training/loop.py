@@ -315,6 +315,19 @@ class FlowTrainer(Trainer):
         )
         return TrainState.create(params, self.tx)
 
+    def preview_images(self, state, rng, batch=None):
+        # MeanFlow is 1-step: sample(params, rng, batch_size) takes no
+        # num_steps/mode (mean_flow.py:78) — the base preview call would
+        # TypeError (and be swallowed by the preview try/except)
+        sample = self.engine.sample(
+            state.ema_params, rng, batch_size=self.preview_batch_size
+        )
+        return render_sample_images(
+            sample, self.lidar_utils,
+            train_depth=self.cfg.data.train_depth,
+            train_reflectance=self.cfg.data.train_reflectance,
+        )
+
 
 class ObjectTrainer(Trainer):
     """Per-object point diffusion trainer (nuscenes-object);

@@ -25,9 +25,10 @@ python tools/converters/nuscenes_converter.py --root "$ROOT" -o "$OUT" \
 python tools/converters/build_clip_cache.py obj-text \
     --clip "$CLIP" --bpe "$BPE" --save_path "$OUT/obj_text_feat.pkl"
 
-# 4. warm the per-sample scene-graph CLIP cache
+# 4. warm the per-sample scene-graph CLIP cache (over the step-1 infos)
 python tools/converters/build_clip_cache.py warm-cache \
-    --clip "$CLIP" --bpe "$BPE" --config nuscenes-layout
+    --clip "$CLIP" --bpe "$BPE" --config nuscenes-layout \
+    --pkl "$OUT/nuscenes_infos_train.pkl" --data_root "$ROOT"
 
 # 5. pre-generated object-branch box conditions
 if [ -n "${OBJECT_CKPT:-}" ]; then
@@ -36,6 +37,8 @@ else
   python tools/generate_box_condition.py --random-params
 fi
 
-# 6. object classification split
-python tools/converters/split_object_dataset.py \
-    --dbinfos "$OUT/nuscenes_dbinfos_train.pkl"
+# 6. object classification split (over the gt-database infos — an external
+#    artifact the reference also consumes, not produced by steps 1-5;
+#    see OpenPCDet's nuscenes gt-database generation)
+DBINFOS=${DBINFOS:-data/infos/nuscenes_dbinfos_10sweeps_withvelo.pkl}
+python tools/converters/split_object_dataset.py --dbinfos "$DBINFOS"

@@ -95,6 +95,10 @@ def test_flow_and_object_trainers():
     t = FlowTrainer(cfg, batches(), log_fn=None)
     state = t.train(num_steps=2)
     assert int(jax.device_get(state.step)) == 2
+    # MeanFlow.sample takes no num_steps/mode — the preview must use the
+    # 1-step signature instead of raising a (swallowed) TypeError
+    imgs = t.preview_images(state, jax.random.PRNGKey(0))
+    assert imgs and all(np.isfinite(np.asarray(v)).all() for v in imgs.values())
 
     # object branch
     cfg = get_config("nuscenes-object")

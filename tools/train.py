@@ -37,21 +37,24 @@ def real_batches(cfg, num_workers: int = 0):
 
     ds = __all_datasets__[cfg.data.dataset](cfg)
     B = cfg.training.batch_size_train
+    seed = getattr(cfg.training, "seed", 0)
     if num_workers > 0:
         # threaded prefetch over the native projection (GIL-released IO +
         # C++ kernel); cf. the reference's DataLoader(num_workers=...)
         # (train_lidm.py:125)
         from lidarcrafter_tpu.native.loader import PrefetchLoader
 
-        return iter(PrefetchLoader(ds, B, num_workers=num_workers))
+        return iter(PrefetchLoader(ds, B, num_workers=num_workers, seed=seed))
     import numpy as np
 
     def gen():
-        order = np.random.permutation(len(ds))
+        # same seeded shuffle stream as PrefetchLoader, so --workers 0/N
+        # yield identical batch order
+        rng = np.random.RandomState(seed)
         while True:
+            order = rng.permutation(len(ds))
             for i in range(0, len(order) - B + 1, B):
                 yield ds.collate_fn([ds[j] for j in order[i : i + B]])
-            order = np.random.permutation(len(ds))
 
     return gen()
 

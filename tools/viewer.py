@@ -40,7 +40,10 @@ class SamplerHub:
         self.ckpt_root = ckpt_root
         self.resolution = resolution
         self._cache = {}
+        # per-config build locks: a minutes-long first compile of one config
+        # must not block requests for configs that are already cached
         self._lock = threading.Lock()
+        self._build_locks = {}
 
     # ------------------------------------------------------------ builders
     def _restore(self, name, init_params):
@@ -157,9 +160,17 @@ class SamplerHub:
     # -------------------------------------------------------------- public
     def get(self, name):
         with self._lock:
-            if name not in self._cache:
-                self._cache[name] = self._build(name)
-            return self._cache[name]
+            if name in self._cache:
+                return self._cache[name]
+            build_lock = self._build_locks.setdefault(name, threading.Lock())
+        with build_lock:
+            with self._lock:
+                if name in self._cache:
+                    return self._cache[name]
+            entry = self._build(name)
+            with self._lock:
+                self._cache[name] = entry
+            return entry
 
     def sample(self, name, num_steps=8, mode="ddim", seed=0, boxes=None):
         import jax
