@@ -134,6 +134,43 @@ def bench_uncond():
     return rate, _cost_stats(sample, rng, batch / rate)
 
 
+def bench_train_step():
+    """Flagship uncond training throughput (bf16-AMP fwd/bwd, f32 master
+    params/optimizer — cf. the reference's fp16 Accelerate training,
+    ``train_lidm.py:214-266``).  Returns (steps/s, frames/s)."""
+    from lidarcrafter_tpu.configs import get_config
+    from lidarcrafter_tpu.training import build_diffusion_training
+    from lidarcrafter_tpu.training.optim import make_optimizer
+    from lidarcrafter_tpu.training.state import TrainState
+    from lidarcrafter_tpu.training.train_step import make_train_step
+
+    cfg = get_config("nuscenes-unet-uncond")
+    model, engine, _ = build_diffusion_training(cfg)
+    H, W = cfg.data.resolution
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+    x = jnp.zeros((B, H, W, 2), jnp.float32)
+    params = _zeros_init(model.init, jax.random.PRNGKey(0), x, jnp.zeros((B,)))
+    tx = make_optimizer(
+        lr=cfg.training.lr,
+        warmup_steps=cfg.training.lr_warmup_steps,
+        num_steps=cfg.training.num_steps,
+    )
+    state = TrainState.create(params, tx)
+    step = make_train_step(engine, tx, amp=DTYPE == jnp.bfloat16)
+    rng = jax.random.PRNGKey(7)
+    x0 = jax.random.normal(jax.random.PRNGKey(8), (B, H, W, 2), jnp.float32)
+    state, loss = step(state, x0, rng)  # compile + warmup
+    _fetch([loss[None, None]])
+    n = int(os.environ.get("BENCH_TRAIN_STEPS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        # the state dependency chains the dispatches; one final fetch syncs
+        state, loss = step(state, x0, rng)
+    _fetch([loss[None, None]])
+    dt = time.perf_counter() - t0
+    return n / dt, n * B / dt
+
+
 def _build_cond_stack(name, B=None):
     """Production conditional stack (layout encoder + LayoutUnetV1) with
     random-initialized weights at the config's real topology."""
@@ -280,6 +317,10 @@ def main():
             if within_budget():
                 wall, _ = bench_rollout(scenes=1)
                 extra["rollout_16frame_wall_s_50step_ddim"] = round(wall, 2)
+            if within_budget():
+                steps_s, frames_s = bench_train_step()
+                extra["train_steps_per_sec_b8_bf16amp"] = round(steps_s, 3)
+                extra["train_frames_per_sec"] = round(frames_s, 2)
         except Exception as e:  # sub-benches must never sink the headline
             extra["error"] = f"{type(e).__name__}: {e}"
 

@@ -53,8 +53,7 @@ class ResBlockADM(nn.Module):
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = gn32(name="in_norm")(x)
-        h = nn.silu(h)
+        h = gn32(name="in_norm")(x, silu=True)
         if self.up or self.down:
             if self.fir:
                 op = Resample(
@@ -77,11 +76,10 @@ class ResBlockADM(nn.Module):
         emb_out = emb_out[:, None, None, :]
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = gn32(name="out_norm")(h) * (1 + scale) + shift
+            h = gn32(name="out_norm")(h, scale_shift=(scale, shift), silu=True)
         else:
             h = h + emb_out
-            h = gn32(name="out_norm")(h)
-        h = nn.silu(h)
+            h = gn32(name="out_norm")(h, silu=True)
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
         h = RingConv(self.out_channels, ring=self.ring, zero_init=True, name="out_conv")(h)
@@ -393,8 +391,7 @@ class LayoutUnetV1(nn.Module):
                         h = Upsample(ch, self.conv_resample, ring=self.ring, name=f"up_{level}")(h)
                     ds //= 2
 
-        h = gn32(name="out_norm")(h)
-        h = nn.silu(h)
+        h = gn32(name="out_norm")(h, silu=True)
         return RingConv(
             self.out_channels, ring=self.ring, zero_init=True, name="out_conv"
         )(h)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.pallas_attention import attention_bhld, use_fused_attention
+from ..ops.pallas_groupnorm import fused_group_norm, use_fused_groupnorm
 
 
 def fused_attention_fn(query, key, value, bias=None, mask=None, **kwargs):
@@ -191,6 +192,72 @@ class Resample(nn.Module):
         )
 
 
+class FusedGN(nn.Module):
+    """``nn.GroupNorm``-compatible module (same param names, so checkpoint
+    converter paths are unchanged) that routes through the resident Mosaic
+    kernel on TPU backends — one HBM read + one write, with the consumer
+    scale-shift conditioning and SiLU folded into the write-back (see
+    ``ops/pallas_groupnorm.py``).  The XLA fallback mirrors flax's
+    fast-variance f32 math and applies the identical composition."""
+
+    num_groups: int = 8
+    epsilon: float = 1e-6
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, scale_shift=None, silu: bool = False):
+        C = x.shape[-1]
+        G = self.num_groups
+        scale = (
+            self.param("scale", nn.initializers.ones, (C,))
+            if self.use_scale else None
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (C,))
+            if self.use_bias else None
+        )
+        if use_fused_groupnorm(x, G):
+            B = x.shape[0]
+            gamma = (
+                scale.astype(jnp.float32)
+                if scale is not None else jnp.ones((C,), jnp.float32)
+            )
+            beta = (
+                bias.astype(jnp.float32)
+                if bias is not None else jnp.zeros((C,), jnp.float32)
+            )
+            if scale_shift is not None:
+                s, t = scale_shift
+                s1 = 1.0 + s.astype(jnp.float32).reshape(B, C)
+                beta = beta * s1 + t.astype(jnp.float32).reshape(B, C)
+                gamma = gamma * s1
+            return fused_group_norm(
+                x, gamma, beta, num_groups=G, eps=self.epsilon, silu=silu
+            )
+        shape = x.shape
+        g = x.reshape(*shape[:-1], G, C // G).astype(jnp.float32)
+        axes = tuple(range(1, g.ndim - 2)) + (g.ndim - 1,)
+        mean = jnp.mean(g, axis=axes, keepdims=True)
+        mean2 = jnp.mean(g * g, axis=axes, keepdims=True)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        y = ((g - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(shape)
+        out_dtype = x.dtype
+        if scale is not None:
+            y = y * scale
+            out_dtype = jnp.result_type(out_dtype, scale.dtype)
+        if bias is not None:
+            y = y + bias
+            out_dtype = jnp.result_type(out_dtype, bias.dtype)
+        y = y.astype(out_dtype)
+        if scale_shift is not None:
+            s, t = scale_shift
+            y = y * (1 + s) + t
+        if silu:
+            y = nn.silu(y)
+        return y
+
+
 class AdaGN(nn.Module):
     """Adaptive GroupNorm: GN(x) * (1 + scale(emb)) + shift(emb); cf. ``ops.py:176-200``."""
 
@@ -198,16 +265,18 @@ class AdaGN(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, emb: jnp.ndarray, silu: bool = False
+    ) -> jnp.ndarray:
         C = x.shape[-1]
-        h = nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.eps, use_bias=False, use_scale=False
-        )(x)
         proj = nn.Dense(C * 2)(nn.silu(emb))
         scale, shift = jnp.split(proj, 2, axis=-1)
         scale = scale[:, None, None, :]
         shift = shift[:, None, None, :]
-        return h * (1 + scale) + shift
+        return FusedGN(
+            num_groups=self.num_groups, epsilon=self.eps,
+            use_bias=False, use_scale=False, name="GroupNorm_0",
+        )(x, scale_shift=(scale, shift), silu=silu)
 
 
 class SelfAttention2d(nn.Module):
@@ -224,7 +293,10 @@ class SelfAttention2d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=self.gn_num_groups, epsilon=self.gn_eps)(x)
+        h = FusedGN(
+            num_groups=self.gn_num_groups, epsilon=self.gn_eps,
+            name="GroupNorm_0",
+        )(x)
         h = h.reshape(B, H * W, C)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
@@ -262,7 +334,10 @@ class MFSelfAttention2d(nn.Module):
         B, H, W, C = x.shape
         nh = self.num_heads
         dh = C // nh
-        h = nn.GroupNorm(num_groups=self.gn_num_groups, epsilon=self.gn_eps)(x)
+        h = FusedGN(
+            num_groups=self.gn_num_groups, epsilon=self.gn_eps,
+            name="GroupNorm_0",
+        )(x)
         h = h.reshape(B, H * W, C)
         qkv = nn.Dense(3 * C, name="qkv")(h)
         qkv = qkv.reshape(B, H * W, 3, nh, dh)
@@ -308,16 +383,20 @@ class ResidualBlock(nn.Module):
         emb: jnp.ndarray | None = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        h = nn.GroupNorm(num_groups=self.gn_num_groups, epsilon=self.gn_eps)(x)
-        h = nn.silu(h)
+        h = FusedGN(
+            num_groups=self.gn_num_groups, epsilon=self.gn_eps,
+            name="GroupNorm_0",
+        )(x, silu=True)
         h = RingConv(self.features, ring=self.ring, name="conv1")(h)
         if emb is not None:
-            h = AdaGN(num_groups=self.gn_num_groups, eps=self.gn_eps, name="norm2")(h, emb)
+            h = AdaGN(
+                num_groups=self.gn_num_groups, eps=self.gn_eps, name="norm2"
+            )(h, emb, silu=True)
         else:
-            h = nn.GroupNorm(
-                num_groups=self.gn_num_groups, epsilon=self.gn_eps, name="norm2_gn"
-            )(h)
-        h = nn.silu(h)
+            h = FusedGN(
+                num_groups=self.gn_num_groups, epsilon=self.gn_eps,
+                name="norm2_gn",
+            )(h, silu=True)
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
         h = RingConv(self.features, ring=self.ring, zero_init=True, name="conv2")(h)
@@ -342,6 +421,35 @@ def softmax_f32_math(logits: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return (p / jnp.sum(p, axis=axis, keepdims=True)).astype(logits.dtype)
 
 
+def use_onepass_groupnorm(x: jnp.ndarray, group_elems: int) -> bool:
+    """Single-pass GN stats on the TPU bf16 inference path?
+
+    The direct (two-pass) variance costs XLA three reads of the activation
+    slab per GN (mean pass, variance pass, normalize pass); the
+    sum/sum-of-squares form fuses both stats into ONE multi-output reduction
+    → 2 reads + 1 write.  GN-style reduce fusions are ~19% of the
+    conditional sampler step (BASELINE.md round-3 trace), so this is a pure
+    HBM-traffic win.
+
+    Numerics: ``E[x²] − mean²`` in f32 over the image UNets' big groups
+    (8k–65k elements) is accurate to ~1e-6 relative; the catastrophic
+    cancellation GroupNorm32 guards against only bites tiny groups, so the
+    one-pass form is refused below 512 elements.  Gated to bf16 inputs on a
+    TPU backend: fp32 runs (CPU tests, parity checks) keep the direct form
+    bit-for-bit.  Disable with ``LCT_ONEPASS_GN=0``.
+    """
+    import os
+
+    if os.environ.get("LCT_ONEPASS_GN", "1") == "0":
+        return False
+    if x.dtype != jnp.bfloat16 or group_elems < 512:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm with direct (two-pass) variance.
 
@@ -349,6 +457,8 @@ class GroupNorm32(nn.Module):
     catastrophically for small groups with non-zero mean (observed 2e-2
     divergence from the reference's ``torch.nn.GroupNorm`` on 2-element
     groups); the direct form matches to ~1e-5 and is also safer in bf16.
+    On the TPU bf16 inference path with big groups the one-pass f32
+    sum/sumsq form is used instead (see ``use_onepass_groupnorm``).
     Channel-last input; parameters named scale/bias like flax GroupNorm.
     """
 
@@ -356,15 +466,50 @@ class GroupNorm32(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale_shift=None, silu: bool = False):
+        """``scale_shift=(s, t)`` fuses the ADM scale-shift conditioning
+        ``GN(x)·(1+s) + t`` (s, t broadcastable (B, 1, 1, C)); ``silu`` fuses
+        the trailing activation.  Both exist so the TPU fused-GN kernel can
+        swallow the consumer elementwise chain; the XLA fallback applies the
+        identical composition, so CPU/fp32 numerics are unchanged."""
         C = x.shape[-1]
         G = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
+        if use_fused_groupnorm(x, G):
+            B = x.shape[0]
+            gamma = scale.astype(jnp.float32)
+            beta = bias.astype(jnp.float32)
+            if scale_shift is not None:
+                s, t = scale_shift
+                s1 = 1.0 + s.astype(jnp.float32).reshape(B, C)
+                beta = beta * s1 + t.astype(jnp.float32).reshape(B, C)
+                gamma = gamma * s1
+            return fused_group_norm(
+                x, gamma, beta, num_groups=G, eps=self.epsilon, silu=silu
+            )
         shape = x.shape
         g = x.reshape(*shape[:-1], G, C // G)
         axes = tuple(range(1, g.ndim - 2)) + (g.ndim - 1,)
-        mean = jnp.mean(g, axis=axes, keepdims=True)
-        var = jnp.mean(jnp.square(g - mean), axis=axes, keepdims=True)
-        g = (g - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return g.reshape(shape) * scale + bias
+        group_elems = math.prod(g.shape[a] for a in axes)
+        if use_onepass_groupnorm(x, group_elems):
+            g32 = g.astype(jnp.float32)
+            s1 = jnp.sum(g32, axis=axes, keepdims=True)
+            s2 = jnp.sum(jnp.square(g32), axis=axes, keepdims=True)
+            mean = s1 / group_elems
+            var = jnp.maximum(s2 / group_elems - jnp.square(mean), 0.0)
+            norm = ((g32 - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(
+                x.dtype
+            )
+            y = norm.reshape(shape) * scale + bias
+        else:
+            mean = jnp.mean(g, axis=axes, keepdims=True)
+            var = jnp.mean(jnp.square(g - mean), axis=axes, keepdims=True)
+            g = (g - mean) * jax.lax.rsqrt(var + self.epsilon)
+            y = g.reshape(shape) * scale + bias
+        if scale_shift is not None:
+            s, t = scale_shift
+            y = y * (1 + s) + t
+        if silu:
+            y = nn.silu(y)
+        return y

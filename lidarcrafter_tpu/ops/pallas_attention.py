@@ -57,7 +57,64 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("kv_len", "block_q", "interpret"))
+def _flash_attention_call(q, k, v, *, kv_len: int, block_q: int, interpret: bool):
+    BH, Lq, dqk = q.shape
+    Lkv = k.shape[1]
+    dv = v.shape[2]
+    kernel = functools.partial(_attn_kernel, kv_len=kv_len)
+    return pl.pallas_call(
+        kernel,
+        grid=(BH, Lq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dqk), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, Lkv, dqk), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, Lkv, dv), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dv), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Lq, dv), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_attention_ad(statics, q, k, v):
+    kv_len, block_q, interpret = statics
+    return _flash_attention_call(
+        q, k, v, kv_len=kv_len, block_q=block_q, interpret=interpret
+    )
+
+
+def _flash_attention_fwd(statics, q, k, v):
+    return _flash_attention_ad(statics, q, k, v), (q, k, v)
+
+
+def _flash_attention_bwd(statics, res, g):
+    """Reverse mode recomputes the attention weights with plain XLA f32 math
+    (``pallas_call`` has no transpose rule, so training on a TPU backend —
+    where ``use_fused_attention`` routes forward through the kernel — would
+    otherwise fail to differentiate).  Standard flash-attention recompute:
+    no residual softmax is stored, the backward re-derives it from (q, k)."""
+    kv_len, _, _ = statics
+    q, k, v = res
+    q32, k32, v32 = (a.astype(jnp.float32) for a in (q, k, v))
+    logits = jnp.einsum("bld,bmd->blm", q32, k32)
+    Lkv = k.shape[1]
+    if kv_len < Lkv:
+        mask = jnp.arange(Lkv) < kv_len
+        logits = jnp.where(mask[None, None, :], logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("blm,bld->bmd", w, g32)
+    dw = jnp.einsum("bld,bmd->blm", g32, v32)
+    dlogits = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dq = jnp.einsum("blm,bmd->bld", dlogits, k32)
+    dk = jnp.einsum("blm,bld->bmd", dlogits, q32)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_attention_ad.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -80,28 +137,17 @@ def flash_attention(
          (1.668 ms vs 1.742 @ 256, 1.981 @ 128; 1024 is 2% faster still
          but doubles the ~4.5 MB VMEM logits tile).
 
+    Differentiable: the forward runs the Mosaic kernel; the backward
+    recomputes attention with XLA f32 math (see ``_flash_attention_bwd``).
+
     Returns (BH, Lq, dv) in q's dtype.
     """
-    BH, Lq, dqk = q.shape
+    Lq = q.shape[1]
     Lkv = k.shape[1]
-    dv = v.shape[2]
     kv_len = Lkv if kv_len is None else int(kv_len)
     block_q = min(block_q, Lq)
     assert Lq % block_q == 0, (Lq, block_q)
-
-    kernel = functools.partial(_attn_kernel, kv_len=kv_len)
-    return pl.pallas_call(
-        kernel,
-        grid=(BH, Lq // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, dqk), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, Lkv, dqk), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, Lkv, dv), lambda b, i: (b, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, dv), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, Lq, dv), q.dtype),
-        interpret=interpret,
-    )(q, k, v)
+    return _flash_attention_ad((kv_len, block_q, bool(interpret)), q, k, v)
 
 
 def attention_bhld(
@@ -148,6 +194,9 @@ def use_fused_attention(Lq: int, block_q: int = 512) -> bool:
     if not _HAS_PLTPU or Lq % min(block_q, Lq) != 0:
         return False
     try:
-        return jax.default_backend() in ("tpu", "axon")
+        # single-device only: pallas_call is an opaque custom call GSPMD
+        # cannot partition, so sharded multi-chip graphs keep the XLA path
+        # (which partitions natively over the mesh)
+        return jax.default_backend() in ("tpu", "axon") and jax.device_count() == 1
     except Exception:  # pragma: no cover
         return False

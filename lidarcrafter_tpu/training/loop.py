@@ -241,6 +241,7 @@ class Trainer:
             donate=self.donate,
             loss_kwargs=self._loss_kwargs(),
             loss_has_aux=self.loss_has_aux,
+            amp=self.cfg.training.mixed_precision == "bf16",
         )
 
         timer = StepTimer()

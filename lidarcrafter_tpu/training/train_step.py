@@ -20,6 +20,50 @@ from .ema import ema_update
 from .state import TrainState
 
 
+def _amp_cast(tree, dtype):
+    """Cast the floating leaves of a pytree (bf16 compute under AMP)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
+def _amp_wrap(fn):
+    """bf16-AMP wrapper for an engine ``apply_fn``/``cond_apply_fn``: the
+    model forward runs in bf16 (params + activations) while the caller keeps
+    f32 master params, targets and loss math — the TPU-native analogue of the
+    reference's fp16 Accelerate AMP (``option_unet_nusc.py:49``,
+    ``train_lidm.py:54-62``).  Gradients flow through the cast back to the
+    f32 leaves."""
+    if fn is None:
+        return None
+
+    def wrapped(params, *args, **kwargs):
+        out = fn(
+            _amp_cast(params, jnp.bfloat16),
+            *(_amp_cast(a, jnp.bfloat16) for a in args),
+            **{k: _amp_cast(v, jnp.bfloat16) for k, v in kwargs.items()},
+        )
+        return _amp_cast(out, jnp.float32)
+
+    return wrapped
+
+
+def amp_engine(engine):
+    """Return a copy of ``engine`` whose model/condition forwards run under
+    bf16 AMP (see ``_amp_wrap``); schedules, q-sampling and loss reductions
+    stay f32."""
+    import dataclasses
+
+    updates = {}
+    for f in dataclasses.fields(engine):
+        if f.name in ("apply_fn", "cond_apply_fn"):
+            updates[f.name] = _amp_wrap(getattr(engine, f.name))
+    return dataclasses.replace(engine, **updates)
+
+
 def make_train_step(
     engine: ContinuousDiffusion,
     tx: optax.GradientTransformation,
@@ -29,6 +73,7 @@ def make_train_step(
     donate: bool = True,
     loss_kwargs: dict | None = None,
     loss_has_aux: bool = False,
+    amp: bool = False,
 ) -> Callable[[TrainState, jnp.ndarray, jax.Array], tuple[TrainState, jnp.ndarray]]:
     """Build ``train_step(state, x_0, rng) -> (state, loss)``.
 
@@ -36,8 +81,12 @@ def make_train_step(
     step counter so a single key drives the whole run.  ``loss_kwargs`` are
     forwarded to ``engine.loss`` (e.g. the layout engine's ``num_scenes``);
     ``loss_has_aux`` selects the scalar from a ``(loss, aux)`` return (the
-    MeanFlow engine's ``(loss, mse)``).
+    MeanFlow engine's ``(loss, mse)``).  ``amp=True`` runs the model forward
+    (and backward) in bf16 with f32 master params/optimizer state
+    (``TrainingConfig.mixed_precision == "bf16"``).
     """
+    if amp:
+        engine = amp_engine(engine)
 
     def train_step(state: TrainState, x_0: jnp.ndarray, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)

@@ -170,3 +170,35 @@ def test_refinenet_converter_reference_parity():
     )
     out = model.apply(variables, jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_groupnorm32_onepass_matches_direct(monkeypatch):
+    """The TPU bf16 inference path switches GroupNorm32 to one-pass f32
+    sum/sumsq stats (2 HBM reads instead of 3); it must agree with the
+    direct-variance form to bf16 resolution, and fp32 inputs must keep the
+    direct form exactly."""
+    from lidarcrafter_tpu.models.ops import GroupNorm32
+
+    gn = GroupNorm32(num_groups=32, epsilon=1e-5)
+    x32 = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 64, 64)) * 3.0 + 1.5
+    params = gn.init(jax.random.PRNGKey(1), x32)
+    ref = gn.apply(params, x32)  # CPU fp32: direct two-pass form
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    bf16_params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), params
+    )
+    got_bf16 = gn.apply(bf16_params, x32.astype(jnp.bfloat16))
+    assert got_bf16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got_bf16, np.float32), np.asarray(ref), atol=5e-2, rtol=5e-2
+    )
+    # fp32 input on "tpu": still the direct form, bitwise equal to CPU path
+    got_f32 = gn.apply(params, x32)
+    np.testing.assert_array_equal(np.asarray(got_f32), np.asarray(ref))
+    # env kill-switch forces the direct form even for bf16
+    monkeypatch.setenv("LCT_ONEPASS_GN", "0")
+    got_off = gn.apply(params, x32.astype(jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(got_off, np.float32), np.asarray(ref), atol=5e-2, rtol=5e-2
+    )

@@ -77,6 +77,35 @@ def test_block_q_clamps_to_short_query():
     )
 
 
+def test_flash_attention_grad_matches_einsum():
+    """Training on a TPU backend differentiates through the kernel: the
+    custom VJP (XLA f32 recompute) must match grads of the einsum form,
+    including with a masked padded KV tail."""
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    BH, Lq, Lkv, d = 2, 256, 200, 32
+    pad = 56
+    q = jax.random.normal(ks[0], (BH, Lq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (BH, Lkv, d), jnp.float32)
+    v = jax.random.normal(ks[2], (BH, Lkv, d), jnp.float32)
+    cot = jax.random.normal(jax.random.PRNGKey(5), (BH, Lq, d), jnp.float32)
+
+    def loss_kernel(q, k, v):
+        kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+        out = flash_attention(q, kp, vp, kv_len=Lkv, interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_ref(q, k, v):
+        w = jax.nn.softmax(jnp.einsum("btc,bsc->bts", q, k), -1)
+        return jnp.sum(jnp.einsum("bts,bsc->btc", w, v) * cot)
+
+    g_got = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
+
+
 def test_fused_attention_fn_matches_flax_mha():
     """`fused_attention_fn` (flax MHA attention_fn hook, used by
     SelfAttention2d on TPU) must equal nn.dot_product_attention."""
