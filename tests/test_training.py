@@ -108,6 +108,38 @@ def test_train_step_runs_and_updates():
     assert diff > 0
 
 
+def test_train_step_amp_bf16_master_params_f32():
+    """AMP step (bf16 model fwd/bwd, f32 master params — the reference's
+    fp16 Accelerate analogue, ``option_unet_nusc.py:49``): params/opt state
+    stay f32, the loss tracks the fp32 step to bf16 resolution, and params
+    move."""
+    _, params, engine = _tiny_setup()
+    tx = make_optimizer(lr=1e-3, warmup_steps=1, num_steps=100)
+    state_amp = TrainState.create(params, tx)
+    state_f32 = TrainState.create(params, tx)
+    step_amp = make_train_step(engine, tx, donate=False, amp=True)
+    step_f32 = make_train_step(engine, tx, donate=False, amp=False)
+    rng = jax.random.PRNGKey(7)
+    x_0 = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 32, 2)) * 2 - 1
+    for _ in range(3):  # step 0 is zero-LR under the warmup schedule
+        state_amp, loss_amp = step_amp(state_amp, x_0, rng)
+        state_f32, loss_f32 = step_f32(state_f32, x_0, rng)
+    assert np.isfinite(float(loss_amp))
+    # same rng stream → the AMP loss is the bf16 rendering of the f32 loss
+    np.testing.assert_allclose(
+        float(loss_amp), float(loss_f32), rtol=0.05, atol=0.02
+    )
+    # master params and optimizer state remain f32 and have moved
+    leaves = jax.tree_util.tree_leaves(state_amp.params)
+    assert all(a.dtype == jnp.float32 for a in leaves)
+    moved = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.abs(b).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, state_amp.params, params),
+        0.0,
+    )
+    assert moved > 0
+
+
 def test_train_step_on_dp_sp_mesh():
     """8 virtual devices: batch over dp, azimuth over sp — the TPU-native DDP."""
     assert len(jax.devices()) == 8
