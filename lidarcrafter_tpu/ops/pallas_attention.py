@@ -197,6 +197,10 @@ def use_fused_attention(Lq: int, block_q: int = 512) -> bool:
         # single-device only: pallas_call is an opaque custom call GSPMD
         # cannot partition, so sharded multi-chip graphs keep the XLA path
         # (which partitions natively over the mesh)
-        return jax.default_backend() in ("tpu", "axon") and jax.device_count() == 1
+        if jax.default_backend() not in ("tpu", "axon") or jax.device_count() != 1:
+            return False
     except Exception:  # pragma: no cover
         return False
+    from .mosaic import mosaic_available
+
+    return mosaic_available()

@@ -224,6 +224,10 @@ def use_fused_groupnorm(x: jnp.ndarray, num_groups: int) -> bool:
     try:
         # single-device only: pallas_call is an opaque custom call GSPMD
         # cannot partition, so sharded multi-chip graphs keep the XLA path
-        return jax.default_backend() in ("tpu", "axon") and jax.device_count() == 1
+        if jax.default_backend() not in ("tpu", "axon") or jax.device_count() != 1:
+            return False
     except Exception:  # pragma: no cover
         return False
+    from .mosaic import mosaic_available
+
+    return mosaic_available()
