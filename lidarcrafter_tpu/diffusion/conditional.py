@@ -104,6 +104,34 @@ class CondContinuousDiffusion(ContinuousDiffusion):
 
     # ----------------------------------------------------------------- reverse
 
+    def predict_x_0_cond(
+        self,
+        params: Any,
+        x_t: jnp.ndarray,
+        condition_dict: dict,
+        t: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Conditioned x̂_0 from one denoiser call (shared by the ancestral
+        steps and the DPM-Solver++ multistep path)."""
+        from . import schedules
+
+        log_snr_t = _bcast(self.log_snr(t), x_t.ndim)
+        alpha_t, sigma_t = schedules.log_snr_to_alpha_sigma(log_snr_t)
+        cd = dict(condition_dict)
+        cd["time_condition"] = self.log_snr(t)
+        prediction = self._model_forward(params, x_t, cd)
+        if self.prediction_type == "eps":
+            x_0 = (x_t - sigma_t * prediction) / alpha_t
+        elif self.prediction_type == "v":
+            x_0 = alpha_t * x_t - sigma_t * prediction
+        elif self.prediction_type == "x_0":
+            x_0 = prediction
+        else:
+            raise ValueError(self.prediction_type)
+        if self.clip_sample:
+            x_0 = jnp.clip(x_0, -self.clip_sample_range, self.clip_sample_range)
+        return x_0
+
     def p_step_cond(
         self,
         params: Any,
@@ -122,19 +150,7 @@ class CondContinuousDiffusion(ContinuousDiffusion):
         log_snr_s = _bcast(self.log_snr(s), x_t.ndim)
         alpha_t, sigma_t = schedules.log_snr_to_alpha_sigma(log_snr_t)
         alpha_s, sigma_s = schedules.log_snr_to_alpha_sigma(log_snr_s)
-        cd = dict(condition_dict)
-        cd["time_condition"] = self.log_snr(t)
-        prediction = self._model_forward(params, x_t, cd)
-        if self.prediction_type == "eps":
-            x_0 = (x_t - sigma_t * prediction) / alpha_t
-        elif self.prediction_type == "v":
-            x_0 = alpha_t * x_t - sigma_t * prediction
-        elif self.prediction_type == "x_0":
-            x_0 = prediction
-        else:
-            raise ValueError(self.prediction_type)
-        if self.clip_sample:
-            x_0 = jnp.clip(x_0, -self.clip_sample_range, self.clip_sample_range)
+        x_0 = self.predict_x_0_cond(params, x_t, condition_dict, t)
         noise = jax.random.normal(rng, x_t.shape, x_t.dtype)
         if mode == "ddpm":
             c = -jnp.expm1(log_snr_t - log_snr_s)
@@ -157,7 +173,7 @@ class CondContinuousDiffusion(ContinuousDiffusion):
         batch_dict: dict,
         batch_size: int,
         num_steps: int,
-        mode: Literal["ddpm", "ddim"] = "ddpm",
+        mode: Literal["ddpm", "ddim", "dpmpp_2m"] = "ddpm",
         ddim_eta: float = 0.0,
         return_all: bool = False,
     ) -> jnp.ndarray:
@@ -169,6 +185,20 @@ class CondContinuousDiffusion(ContinuousDiffusion):
             params, None, batch_dict, only_custom=True
         )
         steps = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+
+        if mode == "dpmpp_2m":
+            from .continuous import dpmpp_2m_scan
+
+            def x0_fn(x, i):
+                t = jnp.full((batch_size,), steps[i])
+                return self.predict_x_0_cond(params, x, condition_dict, t)
+
+            x_final, xs = dpmpp_2m_scan(
+                x, steps, self.log_snr, x0_fn, return_all=return_all
+            )
+            if return_all:
+                return jnp.concatenate([x[None], xs], axis=0)
+            return x_final
 
         def body(x, i):
             t = jnp.full((batch_size,), steps[i])

@@ -34,6 +34,52 @@ def _bcast(t: jnp.ndarray, ndim: int) -> jnp.ndarray:
     return t.reshape(t.shape + (1,) * (ndim - t.ndim))
 
 
+def dpmpp_2m_scan(
+    x: jnp.ndarray,
+    steps: jnp.ndarray,
+    log_snr_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    x0_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    return_all: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    """DPM-Solver++(2M): deterministic second-order multistep ODE solver in
+    data-prediction form (https://arxiv.org/abs/2211.01095, Algorithm 2),
+    run as one ``lax.scan`` over the shared t grid.
+
+    A serving-side addition beyond the reference (which samples DDPM/DDIM
+    only, ``continuous_time.py:194-259``): second-order convergence means
+    ~2-5x fewer denoiser calls at matched sample quality, and the denoiser
+    call IS the cost of a sampling step on TPU.
+
+    ``steps`` is the (num_steps+1,) t grid (1.0 → 0.0); ``x0_fn(x, i)``
+    evaluates the model's x̂_0 at t=steps[i].  The first update (no history
+    yet) is the first-order exact-linear step, identical to DDIM(η=0).
+    """
+    num_steps = steps.shape[0] - 1
+    log_snr = log_snr_fn(steps)  # (num_steps+1,)
+    lam = 0.5 * log_snr  # λ_t = log(α_t / σ_t)
+    alpha, sigma = schedules.log_snr_to_alpha_sigma(log_snr)
+
+    def body(carry, i):
+        x, x0_prev = carry
+        x0 = x0_fn(x, i)
+        h = lam[i + 1] - lam[i]
+        h_prev = lam[i] - lam[jnp.maximum(i - 1, 0)]
+        # second-order correction from the previous x̂_0 — skipped at i=0
+        # (no history; h_prev=0 would make r singular) and on the final
+        # step (first-order final: the λ-extrapolation overshoots on the
+        # large clamped-λ jump into t=0; same policy as diffusers'
+        # ``lower_order_final``)
+        first_order = (i == 0) | (i == num_steps - 1)
+        r = jnp.where(first_order, 1.0, h_prev / h)
+        d2 = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+        d = jnp.where(first_order, x0, d2)
+        x_next = (sigma[i + 1] / sigma[i]) * x - alpha[i + 1] * jnp.expm1(-h) * d
+        return (x_next, x0), x_next if return_all else None
+
+    (x_final, _), xs = jax.lax.scan(body, (x, jnp.zeros_like(x)), jnp.arange(num_steps))
+    return x_final, xs
+
+
 @dataclasses.dataclass(frozen=True)
 class ContinuousDiffusion:
     """Continuous-time Gaussian diffusion (https://arxiv.org/pdf/2107.00630.pdf).
@@ -219,7 +265,7 @@ class ContinuousDiffusion:
         rng: jax.Array,
         batch_size: int,
         num_steps: int,
-        mode: Literal["ddpm", "ddim"] = "ddpm",
+        mode: Literal["ddpm", "ddim", "dpmpp_2m"] = "ddpm",
         ddim_eta: float = 0.0,
         return_all: bool = False,
         model_kwargs: dict | None = None,
@@ -233,6 +279,18 @@ class ContinuousDiffusion:
             rng_init, (batch_size, *self.sampling_shape), jnp.float32
         )
         steps = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+
+        if mode == "dpmpp_2m":
+            def x0_fn(x, i):
+                t = jnp.full((batch_size,), steps[i])
+                return self.predict_x_0(params, x, t, model_kwargs)
+
+            x_final, xs = dpmpp_2m_scan(
+                x, steps, self.log_snr, x0_fn, return_all=return_all
+            )
+            if return_all:
+                return jnp.concatenate([x[None], xs], axis=0)
+            return x_final
 
         def body(carry, i):
             x = carry

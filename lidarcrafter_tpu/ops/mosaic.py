@@ -23,17 +23,27 @@ import jax.numpy as jnp
 _PROBE_RESULT: bool | None = None
 
 
-def _run_probe() -> bool:
+def _run_probe(interpret: bool = False) -> bool:
     from jax.experimental import pallas as pl
 
     def kernel(x_ref, o_ref):
         o_ref[...] = x_ref[...] * 2.0
 
-    x = jnp.ones((8, 128), jnp.float32)
-    out = pl.pallas_call(
-        kernel, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype)
-    )(x)
-    return bool(jax.device_get(out[0, 0]) == 2.0)
+    # The gate is normally consulted at TRACE time (from a flax module under
+    # the caller's jit).  Under omnistaging every op here would bind to the
+    # ambient trace — ``bool()`` on the result then raises
+    # TracerBoolConversionError, the except in ``mosaic_available`` swallows
+    # it, and Pallas routing is silently poisoned OFF for the whole process.
+    # ``ensure_compile_time_eval`` escapes the trace so the probe compiles
+    # and runs eagerly exactly once.
+    with jax.ensure_compile_time_eval():
+        x = jnp.ones((8, 128), jnp.float32)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=interpret,
+        )(x)
+        return bool(jax.device_get(out[0, 0]) == 2.0)
 
 
 def mosaic_available() -> bool:

@@ -58,6 +58,8 @@ def _gn_kernel(
         s1 = s1 + jnp.sum(xc, axis=0, keepdims=True)
         s2 = s2 + jnp.sum(xc * xc, axis=0, keepdims=True)
     m = m_ref[...]  # (C, G) group-indicator
+    a_row = a_ref[0]  # (1, C) this batch row's effective gamma
+    b_row = b_ref[0]
     g1 = jax.lax.dot(s1, m, preferred_element_type=jnp.float32)  # (1, G)
     g2 = jax.lax.dot(s2, m, preferred_element_type=jnp.float32)
     mean_g = g1 / n_per_group
@@ -70,8 +72,8 @@ def _gn_kernel(
     rstd_c = jax.lax.dot_general(
         rstd_g, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    scale = rstd_c * a_ref[...]  # a = effective gamma (B-row), (1, C)
-    shift = b_ref[...] - mean_c * scale
+    scale = rstd_c * a_row  # a = effective gamma (B-row), (1, C)
+    shift = b_row - mean_c * scale
     for i in range(HW // chunk):
         xc = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
         y = xc * scale + shift
@@ -82,6 +84,8 @@ def _gn_kernel(
 
 def _gn_call(x, a, b, m, *, num_groups, eps, silu, chunk, interpret):
     B, HW, C = x.shape
+    a = a.reshape(B, 1, C)
+    b = b.reshape(B, 1, C)
     kernel = functools.partial(
         _gn_kernel,
         n_per_group=HW * (C // num_groups),
@@ -94,8 +98,11 @@ def _gn_call(x, a, b, m, *, num_groups, eps, silu, chunk, interpret):
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, HW, C), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, C), lambda i: (i, 0)),
-            pl.BlockSpec((1, C), lambda i: (i, 0)),
+            # (B, 1, C) with a (1, 1, C) block: Mosaic requires the last two
+            # block dims divisible by (8, 128) OR equal to the array dims —
+            # a (1, C) block of a (B, C) array violates the sublane rule
+            pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0)),
             pl.BlockSpec((C, num_groups), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, HW, C), lambda i: (i, 0, 0)),
@@ -203,13 +210,20 @@ def _group_matrix(C: int, G: int) -> jnp.ndarray:
 def use_fused_groupnorm(x: jnp.ndarray, num_groups: int) -> bool:
     """Route this GN through the resident Mosaic kernel?
 
-    True on a TPU backend for bf16 slabs that fit the VMEM budget, with
-    lane-friendly channel counts and big groups (the f32 one-pass stats
-    guard, cf. ``use_onepass_groupnorm``).  Disable with ``LCT_FUSED_GN=0``.
+    OPT-IN (``LCT_FUSED_GN=1``): measured on the v5e tunnel chip, the kernel
+    is ~5% SLOWER end-to-end than XLA's own GN fusion chain on the layout
+    sampler (5.67 vs 5.98 f/s at B=8; 17.48 vs 17.71 GB/step — it does save
+    a little HBM traffic, but the in-kernel serial chunk loop overlaps worse
+    than XLA's fused reduce+normalize).  Kept as a correct, on-chip-verified
+    Mosaic reference and for backends/shapes where the tradeoff may flip.
+
+    When enabled: requires a TPU backend, bf16 slabs that fit the VMEM
+    budget, lane-friendly channel counts and big groups (the f32 one-pass
+    stats guard, cf. ``use_onepass_groupnorm``).
     """
     import os
 
-    if os.environ.get("LCT_FUSED_GN", "1") == "0":
+    if os.environ.get("LCT_FUSED_GN", "0") != "1":
         return False
     if not _HAS_PLTPU or x.dtype != jnp.bfloat16 or x.ndim < 3:
         return False

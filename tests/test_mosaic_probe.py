@@ -39,8 +39,34 @@ def test_probe_failure_is_cached_and_never_raises(monkeypatch):
     assert len(calls) == 1  # verdict cached after the first attempt
 
 
+def test_probe_inside_jit_trace_not_poisoned(monkeypatch):
+    """Regression: the first gate consultation normally happens at TRACE
+    time (from a flax module under the sampler's jit).  The probe must
+    escape the ambient trace — before the ``ensure_compile_time_eval``
+    guard, omnistaging turned the probe's arrays into tracers, ``bool()``
+    raised TracerBoolConversionError, and the swallowed exception cached
+    ``False``: every Pallas kernel silently fell back to XLA for the whole
+    process (measured -29% layout-cond sampling throughput)."""
+    import functools
+
+    monkeypatch.setattr(
+        mosaic, "_run_probe", functools.partial(mosaic._run_probe, interpret=True)
+    )
+    seen = []
+
+    @jax.jit
+    def f(x):
+        seen.append(mosaic.mosaic_available())
+        return x * 2
+
+    f(jnp.ones((2,)))
+    assert seen == [True]
+    assert mosaic._PROBE_RESULT is True
+
+
 def test_gate_defers_to_probe(monkeypatch):
     """A TPU-looking backend whose probe fails must keep the XLA path."""
+    monkeypatch.setenv("LCT_FUSED_GN", "1")  # GN kernel is opt-in
     monkeypatch.setattr(mosaic, "_run_probe", lambda: False)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(jax, "device_count", lambda: 1)

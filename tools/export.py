@@ -27,7 +27,7 @@ def main():
     parser.add_argument("-o", "--output", default="exported_sampler")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--num-steps", type=int, default=50)
-    parser.add_argument("--mode", choices=["ddpm", "ddim"], default="ddim")
+    parser.add_argument("--mode", choices=["ddpm", "ddim", "dpmpp_2m"], default="ddim")
     parser.add_argument("--ema", action="store_true")
     parser.add_argument(
         "--platform", default=None,

@@ -17,7 +17,7 @@ def main():
     parser.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     parser.add_argument("-n", "--num-samples", type=int, default=8)
     parser.add_argument("--num-steps", type=int, default=256)
-    parser.add_argument("--mode", choices=["ddpm", "ddim"], default="ddpm")
+    parser.add_argument("--mode", choices=["ddpm", "ddim", "dpmpp_2m"], default="ddpm")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("-o", "--output", default="generated")
     parser.add_argument("--ema", action="store_true", help="sample with EMA weights")

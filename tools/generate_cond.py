@@ -28,7 +28,7 @@ def main():
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("-n", "--num-samples", type=int, default=1)
     parser.add_argument("--num-steps", type=int, default=256)
-    parser.add_argument("--mode", choices=["ddpm", "ddim"], default="ddpm")
+    parser.add_argument("--mode", choices=["ddpm", "ddim", "dpmpp_2m"], default="ddpm")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("-o", "--output", default="generated_cond")
     parser.add_argument("--ema", action="store_true")
