@@ -1,0 +1,233 @@
+"""Detection evaluation: pcdet-style recall + nuScenes-protocol AP.
+
+Golden values are computed by hand from the published protocol
+(devkit ``detection/algo.py`` accumulate/calc_ap semantics;
+``pcdet_eval_utils.eval_one_epoch:85-120`` recall semantics).
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from lidarcrafter_tpu.metrics.detection_eval import (
+    _accumulate_class,
+    box_recall_counts,
+    calc_ap,
+    evaluate_detections,
+)
+
+
+def box(x, y, z=0.0, dx=4.0, dy=2.0, dz=1.5, yaw=0.0):
+    return [x, y, z, dx, dy, dz, yaw]
+
+
+# ------------------------------------------------------------------- calc_ap
+
+
+def test_calc_ap_perfect_detector():
+    # 10 GT, 10 TP predictions in score order → precision 1 at every recall.
+    # interp precision = 1 on the whole grid; after slicing recall > 0.1 and
+    # subtracting min_precision: (1 - 0.1) / (1 - 0.1) = 1.
+    tp = np.ones(10, bool)
+    assert calc_ap(tp, n_gt=10) == pytest.approx(1.0)
+
+
+def test_calc_ap_all_false():
+    assert calc_ap(np.zeros(5, bool), n_gt=5) == 0.0
+    assert calc_ap(np.ones(0, bool), n_gt=0) == 0.0
+
+
+def test_calc_ap_half_recall_hand_computed():
+    # 5 TP then 5 FP over 10 GT: precision stays 1 up to recall 0.5, then
+    # falls.  Interpolated precision on the 101-pt grid: 1.0 for recall grid
+    # points <= 0.5 that are covered (np.interp with right=0 → 0 past max
+    # recall).  Hand-compute the exact expectation with the same formula.
+    tp = np.array([1, 1, 1, 1, 1, 0, 0, 0, 0, 0], bool)
+    tps = np.cumsum(tp)
+    fps = np.cumsum(~tp)
+    prec = tps / (tps + fps)
+    rec = tps / 10.0
+    grid = np.linspace(0, 1, 101)
+    pi = np.interp(grid, rec, prec, right=0.0)[11:]
+    expected = np.maximum(pi - 0.1, 0).mean() / 0.9
+    assert calc_ap(tp, n_gt=10) == pytest.approx(expected)
+    assert 0.0 < expected < 0.5
+
+
+# -------------------------------------------------------- greedy matching
+
+
+def _annos(det_boxes, det_scores, det_names, gt_boxes, gt_names):
+    det = [{"boxes_lidar": np.asarray(b, np.float32).reshape(-1, 7),
+            "score": np.asarray(s, np.float32),
+            "name": np.asarray(n)} for b, s, n in
+           zip(det_boxes, det_scores, det_names)]
+    gt = [{"gt_boxes": np.asarray(b, np.float32).reshape(-1, 7),
+           "name": np.asarray(n)} for b, n in zip(gt_boxes, gt_names)]
+    return det, gt
+
+
+def test_greedy_match_duplicates_one_tp():
+    # two detections on one GT: highest score matches (TP), second is FP —
+    # the devkit's "each GT matched at most once".
+    det, gt = _annos(
+        det_boxes=[[box(0, 0), box(0.3, 0)]],
+        det_scores=[[0.9, 0.8]],
+        det_names=[["car", "car"]],
+        gt_boxes=[[box(0, 0)]],
+        gt_names=[["car"]],
+    )
+    scores, tp, n_gt = _accumulate_class(det, gt, "car", dist_th=2.0)
+    assert n_gt == 1
+    assert list(tp) == [True, False]
+    assert scores[0] >= scores[1]
+
+
+def test_greedy_match_cross_sample_isolation():
+    # a detection in sample 0 cannot match a GT in sample 1
+    det, gt = _annos(
+        det_boxes=[[box(0, 0)], np.zeros((0, 7))],
+        det_scores=[[0.9], []],
+        det_names=[["car"], []],
+        gt_boxes=[np.zeros((0, 7)), [box(0, 0)]],
+        gt_names=[[], ["car"]],
+    )
+    _, tp, n_gt = _accumulate_class(det, gt, "car", dist_th=2.0)
+    assert n_gt == 1 and list(tp) == [False]
+
+
+def test_greedy_match_class_filter_and_distance():
+    det, gt = _annos(
+        det_boxes=[[box(0, 0), box(10, 0)]],
+        det_scores=[[0.9, 0.8]],
+        det_names=[["car", "pedestrian"]],
+        gt_boxes=[[box(0.4, 0.0), box(10, 3)]],
+        gt_names=[["car", "pedestrian"]],
+    )
+    _, tp_car, _ = _accumulate_class(det, gt, "car", dist_th=0.5)
+    assert list(tp_car) == [True]
+    # pedestrian det is 3 m from its GT: TP at 4.0 threshold, FP at 2.0
+    _, tp_p2, _ = _accumulate_class(det, gt, "pedestrian", dist_th=2.0)
+    _, tp_p4, _ = _accumulate_class(det, gt, "pedestrian", dist_th=4.0)
+    assert list(tp_p2) == [False] and list(tp_p4) == [True]
+
+
+# --------------------------------------------------------------- box recall
+
+
+def test_box_recall_rotated_iou():
+    gt = np.array([box(0, 0), box(20, 0)], np.float32)
+    # det 1: exact match of gt 0 → IoU 1; det 2: half-overlap shift of gt 1
+    det = np.array([box(0, 0), box(20 + 2.0, 0)], np.float32)
+    c = box_recall_counts(det, gt)
+    assert c["gt_num"] == 2
+    assert c["recall_rcnn_0.7"] == 1  # only the exact match
+    assert c["recall_rcnn_0.3"] == 2  # the 1/3-IoU shifted det counts
+    # empty dets → zero recall, gt_num preserved
+    c0 = box_recall_counts(np.zeros((0, 7), np.float32), gt)
+    assert c0["gt_num"] == 2 and c0["recall_rcnn_0.3"] == 0
+
+
+# ------------------------------------------------------------- end-to-end
+
+
+def test_evaluate_detections_keys_and_perfect_map():
+    det, gt = _annos(
+        det_boxes=[[box(0, 0), box(10, 5)]],
+        det_scores=[[0.9, 0.8]],
+        det_names=[["car", "pedestrian"]],
+        gt_boxes=[[box(0, 0), box(10, 5)]],
+        gt_names=[["car", "pedestrian"]],
+    )
+    res = evaluate_detections(det, gt, ["car", "pedestrian"])
+    assert res["gt_num"] == 2
+    assert res["recall/rcnn_0.7"] == pytest.approx(1.0)
+    assert res["mAP"] == pytest.approx(1.0)
+    assert res["ap"]["car"]["dist_0.5"] == pytest.approx(1.0)
+    assert res["avg_pred_objects"] == pytest.approx(2.0)
+
+
+def test_extract_foreground_gt_mode(tmp_path):
+    """GT-box extraction path (the 'ori' control arm / opendwm cross-method
+    path, cf. extract_opendwm_foreground_points.py): no detector, boxes from
+    the info pkl, >=min-points crops centered at their boxes."""
+    import pickle
+
+    gen = tmp_path / "gen"
+    gen.mkdir()
+    rng = np.random.RandomState(1)
+    # 100 points inside a box at (5, 5), the rest far away
+    inside = np.concatenate(
+        [rng.uniform(-1, 1, (100, 2)) * [1.5, 0.8] + [5, 5],
+         rng.uniform(-0.5, 0.5, (100, 1)), rng.rand(100, 1)], axis=1,
+    )
+    outside = np.concatenate(
+        [rng.uniform(20, 40, (200, 3)), rng.rand(200, 1)], axis=1
+    )
+    np.save(gen / "tokA.npy",
+            np.concatenate([inside, outside]).astype(np.float32))
+    infos = [{"token": "tokA",
+              "gt_boxes": np.array([box(5, 5, dx=4, dy=2, dz=2),
+                                    box(30, -30)], np.float32),
+              "gt_names": np.array(["car", "pedestrian"])}]
+    gt_pkl = tmp_path / "infos.pkl"
+    with open(gt_pkl, "wb") as f:
+        pickle.dump(infos, f)
+    out = tmp_path / "res"
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools/extract_foreground.py"),
+         "--gen-dir", str(gen), "-o", str(out), "--gt-infos", str(gt_pkl),
+         "--max-points", "512", "--min-points", "50"],
+        capture_output=True, text=True, timeout=560,
+        env={"PYTHONPATH": str(repo), "JAX_PLATFORMS": "cpu",
+             "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": str(tmp_path)},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out / "foreground_samples_info.pkl", "rb") as f:
+        info = pickle.load(f)
+    # car box has 100 points (>= 50) → kept; pedestrian not in the default
+    # keep set (car/truck/bus) → absent
+    assert set(info) == {"car"} and len(info["car"]) == 1
+    crop = np.fromfile(info["car"][0]["path"], np.float32).reshape(-1, 4)
+    assert info["car"][0]["num_points_in_gt"] == len(crop) == 100
+    # crops are box-centered
+    assert np.abs(crop[:, :2]).max() < 2.5
+
+
+def test_evaluate_detection_cli_smoke(tmp_path):
+    """End-to-end: synthetic cloud + random-weight detector → JSON with all
+    keys (mirrors evaluate_3d_detection.py's driver role)."""
+    import pickle
+
+    gen = tmp_path / "gen"
+    gen.mkdir()
+    rng = np.random.RandomState(0)
+    cloud = rng.randn(2048, 4).astype(np.float32) * 10
+    np.save(gen / "sample_tok0.npy", cloud)
+    infos = [{"token": "tok0",
+              "gt_boxes": np.array([box(5, 5)], np.float32),
+              "gt_names": np.array(["car"])}]
+    gt_pkl = tmp_path / "infos.pkl"
+    with open(gt_pkl, "wb") as f:
+        pickle.dump(infos, f)
+    out = tmp_path / "res"
+    repo = Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools/evaluate_detection.py"),
+         "--gen-dir", str(gen), "--gt-infos", str(gt_pkl),
+         "-o", str(out), "--random-params", "--max-points", "2048"],
+        capture_output=True, text=True, timeout=560,
+        env={"PYTHONPATH": str(repo), "JAX_PLATFORMS": "cpu",
+             "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": str(tmp_path)},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+
+    res = json.loads((out / "detection_eval.json").read_text())
+    for key in ("mAP", "ap", "gt_num", "recall/rcnn_0.3", "avg_pred_objects"):
+        assert key in res
+    assert (out / "result_vxrcnn.pkl").exists()

@@ -46,6 +46,20 @@ def main():
                    help="released pcdet VoxelRCNN-CenterHead checkpoint "
                         "(reference extract_foreground_samples.py:25) — runs "
                         "the faithful ingestion path instead of VoxelDetector")
+    p.add_argument("--gt-infos", default=None,
+                   help="info pkl with gt_boxes/gt_names per token: extract "
+                        "foreground with GROUND-TRUTH boxes instead of a "
+                        "detector (the 'ori' control arm / cross-method "
+                        "path; cf. extract_opendwm_foreground_points.py)")
+    p.add_argument("--keep-classes", nargs="+", default=None,
+                   help="class filter for --gt-infos mode (reference "
+                        "default: car truck bus)")
+    p.add_argument("--frame-rotate-deg", type=float, default=0.0,
+                   help="rotate loaded clouds around z before extraction "
+                        "(opendwm txt clouds need 90; cf. "
+                        "extract_opendwm_foreground_points.py:26-28)")
+    p.add_argument("--z-offset", type=float, default=0.0,
+                   help="z shift applied after rotation (opendwm: -2.0)")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--max-points", type=int, default=32768)
     p.add_argument("--score-thresh", type=float, default=0.3)
@@ -72,7 +86,29 @@ def main():
         raise SystemExit(f"no generated clouds found in {args.gen_dir}")
 
     P = args.max_points
-    if args.pcdet_ckpt:
+    gt_infos = None
+    if args.gt_infos:
+        from lidarcrafter_tpu.metrics.detection_eval import (
+            load_gt_infos, match_token,
+        )
+
+        gt_infos = load_gt_infos(args.gt_infos)
+        keep = args.keep_classes or ["car", "truck", "bus"]
+
+        def gt_boxes_for(stem):
+            """GT-box 'detections' for one generated file; cf.
+            ``extract_opendwm_foreground_points.py:23-48``."""
+            token = match_token(stem, gt_infos)
+            if token is None:
+                return None
+            gi = gt_infos[token]
+            sel = np.asarray([n in keep for n in gi["gt_names"]], bool)
+            boxes = gi["gt_boxes"][sel].astype(np.float32)
+            names = np.asarray(gi["gt_names"])[sel]
+            return boxes, np.ones((len(boxes),), np.float32), names
+
+        det_fn = None
+    elif args.pcdet_ckpt:
         from lidarcrafter_tpu.metrics.models.voxel_rcnn import (
             load_voxel_rcnn_from_pcdet,
         )
@@ -116,15 +152,32 @@ def main():
     info = defaultdict(list)
     for frame_id, f in enumerate(files):
         cloud = load_cloud(f)[:, :4]
+        if args.frame_rotate_deg:
+            a = np.deg2rad(args.frame_rotate_deg)
+            rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]],
+                           np.float32)
+            cloud = cloud.copy()
+            cloud[:, :2] = cloud[:, :2] @ rot.T
+        if args.z_offset:
+            cloud = cloud.copy()
+            cloud[:, 2] += args.z_offset
         n = min(len(cloud), P)
         pts = np.zeros((P, 4), np.float32)
         pts[:n] = cloud[:n]
         mask = np.arange(P) < n
-        boxes, scores, labels, keep = (
-            np.asarray(a) for a in det_fn(jnp.asarray(pts), jnp.asarray(mask))
-        )
-        boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
-        names = np.array([CLASS_NAMES[i] for i in labels])
+        if gt_infos is not None:
+            got = gt_boxes_for(f.stem)
+            if got is None:
+                print(f"[{frame_id + 1}/{len(files)}] {f.stem}: no token match")
+                continue
+            boxes, scores, names = got
+        else:
+            boxes, scores, labels, keep = (
+                np.asarray(a)
+                for a in det_fn(jnp.asarray(pts), jnp.asarray(mask))
+            )
+            boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+            names = np.array([CLASS_NAMES[i] for i in labels])
         det_annos.append(
             {"frame_id": str(frame_id), "name": names,
              "boxes_lidar": boxes, "score": scores}
