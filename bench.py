@@ -102,6 +102,48 @@ def _cost_stats(sample_fn, rng, wall_per_call):
         return {"error": f"{type(e).__name__}: {e}"}
 
 
+def chip_microbench(reps=8):
+    """Measured compute/bandwidth roofs of THIS chip, reported alongside the
+    datasheet-based utilization numbers: the axon tunnel chip has measured at
+    ~1/3 of v5e spec (BASELINE.md), so per-run calibration makes the
+    utilization figures interpretable — e.g. 31% datasheet MFU on a chip
+    whose large-matmul ceiling measures 31% of datasheet IS the compute roof.
+    """
+    import jax.random as jr
+
+    n = 8192
+    a = jr.normal(jr.PRNGKey(0), (n, n), jnp.bfloat16)
+    b = jr.normal(jr.PRNGKey(1), (n, n), jnp.bfloat16)
+    mm = jax.jit(lambda a, b: a @ b)
+    _fetch([mm(a, b)])  # compile + warm
+    t0 = time.perf_counter()
+    out = a
+    for _ in range(reps):
+        out = mm(out, b)  # chained: dispatch can't overlap the timing fetch
+    _fetch([out])
+    dt = time.perf_counter() - t0
+    matmul_tf = 2 * n**3 * reps / dt / 1e12
+
+    x = jr.normal(jr.PRNGKey(2), (1024 * 1024 * 1024 // 4,), jnp.float32)  # 1 GB
+    stream = jax.jit(lambda x: x * 1.0001 + 0.5)
+    _fetch([stream(x)[None, None]])
+    t0 = time.perf_counter()
+    out = x
+    for _ in range(reps):
+        out = stream(out)
+    _fetch([out[None, None]])
+    dt = time.perf_counter() - t0
+    hbm_gbps = 2 * x.nbytes * reps / dt / 1e9  # read + write per pass
+    return {
+        "matmul_tf_bf16": round(matmul_tf, 1),
+        "hbm_gbps_stream": round(hbm_gbps, 1),
+        "pct_of_v5e_datasheet": {
+            "matmul": round(100 * matmul_tf * 1e12 / V5E_PEAK_BF16_FLOPS, 1),
+            "hbm": round(100 * hbm_gbps * 1e9 / V5E_HBM_BYTES_PER_S, 1),
+        },
+    }
+
+
 def bench_uncond():
     from lidarcrafter_tpu.configs import get_config
     from lidarcrafter_tpu.training import build_diffusion_training
@@ -321,6 +363,8 @@ def main():
                 steps_s, frames_s = bench_train_step()
                 extra["train_steps_per_sec_b8_bf16amp"] = round(steps_s, 3)
                 extra["train_frames_per_sec"] = round(frames_s, 2)
+            if within_budget():
+                extra["chip_calibration"] = chip_microbench()
         except Exception as e:  # sub-benches must never sink the headline
             extra["error"] = f"{type(e).__name__}: {e}"
 
