@@ -30,6 +30,14 @@ python tools/converters/build_clip_cache.py warm-cache \
     --clip "$CLIP" --bpe "$BPE" --config nuscenes-layout \
     --pkl "$OUT/nuscenes_infos_train.pkl" --data_root "$ROOT"
 
+# 4b. (optional) lidarseg label paths for the RangeNet semantic trainer
+#     (reference add_lidarseg_token.py)
+if [ -n "${WITH_LIDARSEG:-}" ]; then
+  python tools/converters/add_lidarseg.py --root "$ROOT" \
+      --infos "$OUT/nuscenes_infos_train.pkl" "$OUT/nuscenes_infos_val.pkl" \
+      --version "${NUSC_VERSION:-v1.0-trainval}"
+fi
+
 # 5. pre-generated object-branch box conditions
 if [ -n "${OBJECT_CKPT:-}" ]; then
   python tools/generate_box_condition.py --ckpt "$OBJECT_CKPT"

@@ -150,3 +150,32 @@ def test_rect_direction_and_groups():
     dirs = [(np.array([np.cos(a), np.sin(a)]), 1.0) for a in (0.0, 0.02, 1.2)]
     groups = aligned_groups(dirs)
     assert sorted(map(sorted, groups)) == [[0, 1], [2]]
+
+
+def test_add_lidarseg_patch():
+    """gt_segment_path patching against a fake devkit
+    (add_lidarseg_token.py:15-21 semantics)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.converters.add_lidarseg import patch_infos_with_lidarseg
+
+    class FakeNusc:
+        def get(self, table, token):
+            if table == "sample":
+                return {"data": {"LIDAR_TOP": f"sd_{token}"}}
+            assert table == "lidarseg"
+            if token == "sd_tok_nolabel":
+                return None
+            return {"filename": f"lidarseg/{token}.bin"}
+
+    infos = [{"token": "tok_a"}, {"token": "tok_nolabel"}, {"token": "tok_b"}]
+    n = patch_infos_with_lidarseg(infos, FakeNusc())
+    assert n == 2
+    assert infos[0]["gt_segment_path"] == "lidarseg/sd_tok_a.bin"
+    assert "gt_segment_path" not in infos[1]
+    assert infos[2]["gt_segment_path"] == "lidarseg/sd_tok_b.bin"
+    # dict-wrapped infos ({"infos": [...]}) are accepted too
+    wrapped = {"infos": [{"token": "tok_c"}]}
+    assert patch_infos_with_lidarseg(wrapped, FakeNusc()) == 1
