@@ -34,6 +34,13 @@ DTYPE = jnp.bfloat16 if DTYPE_NAME == "bfloat16" else jnp.float32
 NUM_STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 
 
+def _progress(msg):
+    # stderr progress markers: the stdout contract is ONE JSON line, but a
+    # cold run through the TPU tunnel can spend minutes per sub-bench and an
+    # observer (or a timeout post-mortem) needs to see how far it got.
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def _zeros_init(init_fn, *args):
     """Abstract init → zero-leaf params.  The throughput benches run
     random-weight models, so zero weights time identically — and eval_shape
@@ -330,7 +337,9 @@ def bench_rollout(frames=int(os.environ.get("BENCH_FRAMES", "15")), scenes=1):
 
 
 def main():
+    _progress("uncond: building + compiling")
     frames_per_sec, cost = bench_uncond()
+    _progress(f"uncond: {frames_per_sec:.2f} f/s")
     target = 10.0  # BASELINE.json north star, frames/s/chip @ 50 DDIM steps
 
     extra = {"uncond_cost": cost}
@@ -345,26 +354,34 @@ def main():
             return time.perf_counter() - t_start < budget
 
         try:
+            _progress("layout-cond B=8: building + compiling")
             rate_b8, cond_cost = bench_layout_cond(B=8, with_cost=True)
+            _progress(f"layout-cond B=8: {rate_b8:.2f} f/s")
             extra["layout_cond_fps_50step_ddim_b8"] = round(rate_b8, 3)
             extra["cond_cost"] = cond_cost
             s8 = int(os.environ.get("BENCH_ROLLOUT_SCENES", "8"))
             if s8 > 1 and within_budget():
+                _progress(f"rollout x{s8} scenes: building + compiling")
                 _, fps = bench_rollout(scenes=s8)
+                _progress(f"rollout x{s8}: {fps:.2f} f/s")
                 extra[f"rollout_scenes{s8}_frames_per_sec"] = round(fps, 2)
             if within_budget():
                 extra["layout_cond_fps_50step_ddim_b1"] = round(
                     bench_layout_cond(B=1), 3
                 )
+                _progress("layout-cond B=1 done")
             if within_budget():
                 wall, _ = bench_rollout(scenes=1)
+                _progress(f"single-scene rollout: {wall:.1f} s")
                 extra["rollout_16frame_wall_s_50step_ddim"] = round(wall, 2)
             if within_budget():
                 steps_s, frames_s = bench_train_step()
+                _progress(f"train step: {steps_s:.2f} steps/s")
                 extra["train_steps_per_sec_b8_bf16amp"] = round(steps_s, 3)
                 extra["train_frames_per_sec"] = round(frames_s, 2)
             if within_budget():
                 extra["chip_calibration"] = chip_microbench()
+                _progress("chip calibration done")
         except Exception as e:  # sub-benches must never sink the headline
             extra["error"] = f"{type(e).__name__}: {e}"
 

@@ -78,6 +78,20 @@ def _max_iou_per_gt(det_boxes: jnp.ndarray, gt_boxes: jnp.ndarray) -> jnp.ndarra
     return jnp.max(iou, axis=0)
 
 
+def _pad_boxes(boxes: np.ndarray, bucket: int = 32) -> np.ndarray:
+    """Pad (N, 7) to the next multiple of ``bucket`` with zero-size boxes
+    (volume 0 → IoU 0 against everything), bounding the number of distinct
+    shapes ``_max_iou_per_gt`` compiles for — per-sample det/GT counts vary
+    freely across an eval run."""
+    n = len(boxes)
+    m = max(bucket, -(-n // bucket) * bucket)
+    if m == n:
+        return boxes
+    out = np.zeros((m, 7), np.float32)
+    out[:n] = boxes
+    return out
+
+
 def box_recall_counts(
     det_boxes: np.ndarray,
     gt_boxes: np.ndarray,
@@ -93,9 +107,10 @@ def box_recall_counts(
         return out
     best = np.asarray(
         _max_iou_per_gt(
-            jnp.asarray(det_boxes, jnp.float32), jnp.asarray(gt_boxes, jnp.float32)
+            jnp.asarray(_pad_boxes(np.asarray(det_boxes, np.float32))),
+            jnp.asarray(_pad_boxes(np.asarray(gt_boxes, np.float32))),
         )
-    )
+    )[: len(gt_boxes)]
     for t in thresholds:
         out[f"recall_rcnn_{t}"] = int((best >= t).sum())
     return out

@@ -131,6 +131,34 @@ def test_box_recall_rotated_iou():
     assert c0["gt_num"] == 2 and c0["recall_rcnn_0.3"] == 0
 
 
+def test_box_recall_padding_invariant():
+    """Shape bucketing (zero-size pad boxes) must not change the tallies:
+    padded boxes have volume 0 → IoU 0 vs everything, and padded GT rows are
+    sliced off before thresholding."""
+    from lidarcrafter_tpu.metrics.detection_eval import _pad_boxes
+
+    rng = np.random.RandomState(3)
+    gt = np.array([box(0, 0), box(20, 0), box(-15, 7, yaw=0.4)], np.float32)
+    det = np.array(
+        [box(0.2, 0.1), box(20 + 1.0, 0), box(40, 40)] + [box(*c) for c in
+         rng.uniform(-30, 30, (5, 2))], np.float32
+    )
+    c = box_recall_counts(det, gt)  # det N=8, gt M=3 → padded to 32 each
+    assert _pad_boxes(det).shape == (32, 7) and _pad_boxes(gt).shape == (32, 7)
+    assert _pad_boxes(np.zeros((32, 7), np.float32)).shape == (32, 7)
+    assert _pad_boxes(np.zeros((33, 7), np.float32)).shape == (64, 7)
+    # hand-check: det0 nearly covers gt0 (IoU > 0.5), det1 overlaps gt1 at
+    # ~0.6 center shift... compute exact via the unpadded IoU op
+    from lidarcrafter_tpu.ops.iou3d import boxes_iou3d
+    import jax.numpy as jnp
+
+    iou = np.asarray(boxes_iou3d(jnp.asarray(det), jnp.asarray(gt)))
+    best = iou.max(axis=0)
+    for t in (0.3, 0.5, 0.7):
+        assert c[f"recall_rcnn_{t}"] == int((best >= t).sum())
+    assert c["gt_num"] == 3
+
+
 # ------------------------------------------------------------- end-to-end
 
 
