@@ -131,6 +131,33 @@ def test_box_recall_rotated_iou():
     assert c0["gt_num"] == 2 and c0["recall_rcnn_0.3"] == 0
 
 
+def test_load_gt_infos_and_match_token(tmp_path):
+    import pickle
+
+    from lidarcrafter_tpu.metrics.detection_eval import load_gt_infos, match_token
+
+    infos = {"infos": [  # the converter's {"infos": [...]} wrapper form
+        {"token": "abc123", "gt_boxes": np.zeros((2, 9)),
+         "gt_names": np.array(["car", "bus"])},
+        {"sample_token": "def456", "gt_boxes": np.zeros((0, 7)),
+         "names": np.array([])},
+    ]}
+    p = tmp_path / "infos.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(infos, f)
+    gt = load_gt_infos(p)
+    assert set(gt) == {"abc123", "def456"}
+    # 9-dim converter boxes (…, vx, vy) are trimmed to 7
+    assert gt["abc123"]["gt_boxes"].shape == (2, 7)
+    assert gt["def456"]["gt_boxes"].shape == (0, 7)
+
+    tokens = set(gt)
+    assert match_token("sample_00042_abc123", tokens) == "abc123"  # last chunk
+    assert match_token("abc123.npy", tokens) == "abc123"
+    assert match_token("def456", tokens) == "def456"  # full-stem fallback
+    assert match_token("nope", tokens) is None
+
+
 def test_box_recall_padding_invariant():
     """Shape bucketing (zero-size pad boxes) must not change the tallies:
     padded boxes have volume 0 → IoU 0 vs everything, and padded GT rows are
