@@ -105,10 +105,14 @@ def box_recall_counts(
         return out
     if len(det_boxes) == 0:
         return out
+    # IoU reads only the 7 geometry columns; tolerate 9-dim boxes carrying
+    # velocity columns (nuScenes converter format) by slicing before padding.
+    det7 = np.asarray(det_boxes, np.float32).reshape(len(det_boxes), -1)[:, :7]
+    gt7 = np.asarray(gt_boxes, np.float32).reshape(len(gt_boxes), -1)[:, :7]
     best = np.asarray(
         _max_iou_per_gt(
-            jnp.asarray(_pad_boxes(np.asarray(det_boxes, np.float32))),
-            jnp.asarray(_pad_boxes(np.asarray(gt_boxes, np.float32))),
+            jnp.asarray(_pad_boxes(det7)),
+            jnp.asarray(_pad_boxes(gt7)),
         )
     )[: len(gt_boxes)]
     for t in thresholds:
@@ -200,9 +204,11 @@ def evaluate_detections(
     tallies = {f"recall_rcnn_{t}": 0 for t in recall_thresholds}
     tallies["gt_num"] = 0
     for det, gt in zip(det_annos, gt_annos):
+        db = np.asarray(det["boxes_lidar"], np.float32)
+        gb = np.asarray(gt["gt_boxes"], np.float32)
         c = box_recall_counts(
-            np.asarray(det["boxes_lidar"], np.float32).reshape(-1, 7),
-            np.asarray(gt["gt_boxes"], np.float32).reshape(-1, 7),
+            db.reshape(len(db), -1) if db.size else db.reshape(0, 7),
+            gb.reshape(len(gb), -1) if gb.size else gb.reshape(0, 7),
             recall_thresholds,
         )
         for k, v in c.items():

@@ -131,6 +131,25 @@ def test_box_recall_rotated_iou():
     assert c0["gt_num"] == 2 and c0["recall_rcnn_0.3"] == 0
 
 
+def test_box_recall_nine_dim_boxes():
+    """Converter boxes carry (…, vx, vy) velocity columns; recall must read
+    only the 7 geometry columns instead of raising a broadcast error (advisor
+    finding, round 3)."""
+    gt7 = np.array([box(0, 0), box(20, 0)], np.float32)
+    det7 = np.array([box(0, 0), box(22.0, 0)], np.float32)
+    vel = np.full((2, 2), 9.9, np.float32)  # junk velocity columns
+    c9 = box_recall_counts(np.hstack([det7, vel]), np.hstack([gt7, vel]))
+    c7 = box_recall_counts(det7, gt7)
+    assert c9 == c7
+    # and through the full driver with mismatched widths (9-dim det, 7-dim gt)
+    det_annos = [{"boxes_lidar": np.hstack([det7, vel]),
+                  "score": np.array([0.9, 0.8]),
+                  "name": np.array(["car", "car"])}]
+    gt_annos = [{"gt_boxes": gt7, "name": np.array(["car", "car"])}]
+    res = evaluate_detections(det_annos, gt_annos, ["car"])
+    assert res["gt_num"] == 2 and res["recall/rcnn_0.3"] == 1.0
+
+
 def test_load_gt_infos_and_match_token(tmp_path):
     import pickle
 
