@@ -149,6 +149,132 @@ def compute_rgf(per_object_records: dict) -> dict:
     return compute_regression_metrics_fixed_bins(per_object_records)
 
 
+# --------------------------------------------------------------------------
+# RGF fold machinery — reference semantics
+# (``lidargen/metrics/fg_object.py:346-500`` + GLENet eval
+#  ``metrics/models/glenet/eval_utils/eval_utils.py:139-218``).
+# --------------------------------------------------------------------------
+
+def _limit_period(val, offset, period):
+    return val - np.floor(val / period + offset) * period
+
+
+def glenet_pass_records(apply_fn, dataset, rng, batch_size: int = 64) -> dict:
+    """ONE MC eval pass over a fold's val dataset → the reference's
+    ``result_{j}.pkl`` record dict {key: {pred_box, gt_box, overlap}}.
+
+    ``apply_fn(batch_dict, rng) -> (B, 9)`` encoded box predictions (the flax
+    GLENet eval path); ``dataset`` is an ``ObjectUncertaintyDataset`` val
+    split.  Boxes are DECODED before dumping (the reference mutates the
+    arrays in place before ``tolist()``, ``eval_utils.py:154-166,184-185``)
+    and ``overlap`` is the per-pass 3D IoU of the decoded gt vs pred box
+    (clamped to ±200; ``eval_utils.py:12-63``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..datasets.object_uncertainty import decode_boxes
+    from ..ops.iou3d import paired_boxes_iou3d
+
+    out = {}
+    for bi, batch in enumerate(dataset.batches(batch_size)):
+        frame_ids = batch.pop("frame_id")
+        bd = {k: jnp.asarray(v) for k, v in batch.items()}
+        pred = np.asarray(apply_fn(bd, jax.random.fold_in(rng, bi)))
+        pred_dec = decode_boxes(pred)
+        gt_dec = decode_boxes(batch["gt_boxes"])
+        ov = np.asarray(
+            paired_boxes_iou3d(
+                jnp.asarray(np.clip(gt_dec[:, :7], -200.0, 200.0)),
+                jnp.asarray(np.clip(pred_dec[:, :7], -200.0, 200.0)),
+            )
+        )
+        for i in range(len(frame_ids)):
+            key = f"{frame_ids[i]}_{frame_ids[i]}"
+            out[key] = {
+                "pred_box": pred_dec[i].tolist(),
+                "gt_box": gt_dec[i, :7].tolist(),
+                "overlap": float(ov[i]),
+            }
+    return out
+
+
+def single_fold_data(result_data_list, used_infos, val_idx):
+    """Aggregate one fold's MC passes; exact mirror of ``single_fold_data``
+    (``fg_object.py:346-406``): per val object, stack the per-pass decoded
+    pred boxes, transform yaw by ``limit_period(yaw − gt_yaw, 0, 2π) → sin``,
+    take the variance of the 7 box params across passes, and average the
+    per-pass overlaps.  Returns (keys, pointnums, overlaps, variances)."""
+    key_l, pointnum_l, overlap_l, variance_l = [], [], [], []
+    car_info = [used_infos[idx] for idx in val_idx]
+    for index in range(len(car_info)):
+        info = car_info[index]
+        key = f"{val_idx[index]}_{val_idx[index]}"
+        if key not in result_data_list[0]:
+            continue
+        pred_boxes = np.array(
+            [r[key]["pred_box"] for r in result_data_list]
+        )  # (passes, 9)
+        pred_box_overlap = [r[key]["overlap"] for r in result_data_list]
+        gt_box_angle = result_data_list[0][key]["gt_box"][6]
+        pred_boxes[:, 6] = _limit_period(
+            pred_boxes[:, 6] - gt_box_angle, 0, 2 * np.pi
+        )
+        pred_boxes[:, 6] = np.sin(pred_boxes[:, 6])
+        key_l.append(key)
+        pointnum_l.append(info["num_points_in_gt"])
+        variance_l.append(np.var(pred_boxes[:, :7], axis=0))
+        overlap_l.append(np.mean(pred_box_overlap))
+    return key_l, pointnum_l, overlap_l, variance_l
+
+
+def compute_rgf_folds(infos, build_fold_apply, rng, num_passes: int = 30,
+                      num_folds: int = 10, batch_size: int = 64,
+                      text_feat=None, point_dims: int = 4) -> dict:
+    """Full RGF driver with the reference's 10-fold × 30-pass structure
+    (``compute_rgf``, ``fg_object.py:456-500``).
+
+    ``infos``: foreground info dict or flat list (filtered to
+    ['car','truck','bus']); ``build_fold_apply(fold_idx) -> apply_fn`` returns
+    the (fold-trained) GLENet eval apply for that fold.  Returns the metric
+    dict from ``compute_regression_metrics_fixed_bins``."""
+    import jax
+
+    from ..datasets.object_uncertainty import (
+        ObjectUncertaintyDataset,
+        flatten_uncertainty_infos,
+        kfold_val_indices,
+    )
+
+    used_infos = flatten_uncertainty_infos(infos)
+    folds = kfold_val_indices(len(used_infos))
+    result_json = {}
+    for fold_idx in range(num_folds):
+        apply_fn = build_fold_apply(fold_idx)
+        ds = ObjectUncertaintyDataset(
+            used_infos, fold_idx, text_feat, training=False,
+            point_dims=point_dims,
+        )
+        passes = [
+            glenet_pass_records(
+                apply_fn, ds,
+                jax.random.fold_in(jax.random.fold_in(rng, fold_idx), j),
+                batch_size,
+            )
+            for j in range(num_passes)
+        ]
+        key_l, pointnum_l, overlap_l, variance_l = single_fold_data(
+            passes, used_infos, folds[fold_idx]
+        )
+        for i in range(len(key_l)):
+            result_json[key_l[i]] = {
+                "variance": variance_l[i],
+                "overlap": overlap_l[i],
+                "pointnum": pointnum_l[i],
+            }
+    return compute_regression_metrics_fixed_bins(result_json)
+
+
 def compute_dcf(detection_results: dict, keep_classes=("car", "truck", "bus", "pedestrian")) -> dict:
     """DCF (mean detector confidence); cf. ``fg_object.py:502-531``.
 

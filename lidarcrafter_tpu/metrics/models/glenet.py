@@ -63,7 +63,10 @@ class LatentEncoder(nn.Module):
             h = jnp.concatenate([h, y], axis=1)
         mu = nn.Dense(self.latent_size, name="fc1")(h)
         logvar = nn.Dense(self.latent_size, name="fc2")(h)
-        return mu, logvar
+        # numerical guard only: σ = exp(logvar), so |logvar| > 8 overflows the
+        # KL term (exp(±16) in var space) long before any trained net reaches
+        # it; the clamp is inert at converged weights.
+        return mu, jnp.clip(logvar, -8.0, 8.0)
 
 
 class ObjectFeatEncoder(nn.Module):
@@ -206,6 +209,87 @@ def mc_uncertainty(apply_fn, batch_dict, rng, num_passes: int = 30):
         preds.append(apply_fn(batch_dict, jax.random.fold_in(rng, i)))
     preds = jnp.stack(preds)  # (P, B, 9)
     return jnp.var(preds[..., :7], axis=0), jnp.mean(preds, axis=0)
+
+
+# exp20.yaml — the fold-training recipe RGF uses (MODEL + LOSS_WEIGHTS).
+EXP20_KWARGS = dict(
+    latent_size=8,
+    dir_offset=0.78539,
+    loc_weight=10.0,
+    dir_weight=0.002,
+    latent_weight=10.0,
+)
+
+
+def l2_param_norm(params):
+    """Sum of L2 norms of every parameter leaf; cf. ``l2_regularisation``
+    (``glenet/model.py:21-29`` — note: norms, not squared norms).  The norm
+    is epsilon-smoothed: d‖p‖/dp at p=0 is 0/0 (zero-init biases would NaN
+    the whole gradient on step one)."""
+    return sum(
+        jnp.sqrt(jnp.sum(jnp.square(p)) + 1e-12)
+        for p in jax.tree_util.tree_leaves(params)
+    )
+
+
+def make_glenet_optimizer(lr: float = 0.003, total_steps: int = 1000,
+                          weight_decay: float = 0.01,
+                          grad_clip: float = 10.0,
+                          pct_start: float = 0.4, div_factor: float = 10.0):
+    """adam_onecycle analogue (exp20.yaml OPTIMIZATION): cosine one-cycle LR
+    with warmup from lr/div_factor, AdamW decoupled weight decay, global-norm
+    clip 10."""
+    import optax
+
+    sched = optax.cosine_onecycle_schedule(
+        transition_steps=max(total_steps, 1), peak_value=lr,
+        pct_start=pct_start, div_factor=div_factor,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(sched, weight_decay=weight_decay),
+    )
+
+
+def make_glenet_train_step(model, tx):
+    """Jitted CVAE train step: loss = reg + anneal·latent + 1e-4·Σ‖W‖₂
+    (cf. ``train_utils.py:53-70``: the KL term is linearly annealed 0→1 over
+    training; the L2 term is ``get_training_loss``'s ``regular_loss``,
+    ``model.py:359-362``)."""
+    import optax
+
+    @jax.jit
+    def step(variables, opt_state, batch, rng, anneal):
+        def loss_fn(params):
+            (reg, latent, _), mutated = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, rng=rng, train=True, mutable=["batch_stats"],
+            )
+            loss = reg + anneal * latent + 1e-4 * l2_param_norm(params)
+            return loss, (mutated["batch_stats"], reg, latent)
+
+        (loss, (bs, reg, latent)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(variables["params"])
+        updates, opt_state = tx.update(grads, opt_state, variables["params"])
+        params = optax.apply_updates(variables["params"], updates)
+        return (
+            {"params": params, "batch_stats": bs},
+            opt_state,
+            {"loss": loss, "reg": reg, "latent": latent},
+        )
+
+    return step
+
+
+def load_glenet_fold(path):
+    """(model, variables) from a ``tools/train_glenet.py`` fold checkpoint
+    pickle {"variables", "model_kwargs"}."""
+    import pickle
+
+    with open(path, "rb") as f:
+        ckpt = pickle.load(f)
+    return GLENet(**ckpt.get("model_kwargs", {})), ckpt["variables"]
 
 
 def load_glenet_from_torch(ckpt_path, **model_kwargs):

@@ -34,26 +34,16 @@ CLASS_NAMES = ("car", "truck", "bus", "pedestrian")
 
 
 def _load_dir(d, limit=None):
-    files = (
-        sorted(Path(d).glob("*.txt"))
-        + sorted(Path(d).glob("*.npy"))
-        + sorted(Path(d).glob("*.bin"))
-    )
-    if limit:
-        files = files[:limit]
+    from lidarcrafter_tpu.utils.sample_io import list_sample_files, load_point_file
+
     out = []
-    for f in files:
-        if f.suffix == ".npy":
-            arr = np.load(f)
-        elif f.suffix == ".txt":
-            arr = np.loadtxt(f)
-        else:
-            arr = np.fromfile(f, np.float32).reshape(-1, 5)[:, :4]
+    for f in list_sample_files(d, limit):
+        arr = load_point_file(f)
         if arr.shape[1] < 4:
             arr = np.concatenate([arr, np.zeros((len(arr), 1))], 1)
-        out.append(arr.astype(np.float32))
+        out.append(arr[:, :4].astype(np.float32))
     if not out:
-        raise SystemExit(f"no .txt/.npy/.bin point files found in {d}")
+        raise SystemExit(f"no .txt/.npy/.bin/.pth point files found in {d}")
     return out
 
 
@@ -115,79 +105,67 @@ def _build_pointmlp(args):
     return logits, feats
 
 
-def _rgf_records(args, crops, npts, keys):
-    """GLENet fold×MC uncertainty records (re-design of ``compute_rgf``,
-    ``fg_object.py:456-500``: 30 MC prior passes per object; variance of the
-    7 box params, overlap = BEV IoU of the mean predicted box vs the
-    detection box)."""
+def _rgf_metric(args, info):
+    """RGF at reference semantics (``fg_object.py:346-500``): 10-fold
+    KFold(shuffle, seed 42) over the ['car','truck','bus'] crops, 30 MC
+    prior passes per fold via GLENet, per-pass decoded pred-vs-GT 3D IoU as
+    overlap, ``limit_period(yaw − gt_yaw) → sin`` before the 7-param
+    variance.  Fold checkpoints come from ``tools/train_glenet.py``
+    (``--glenet-fold-dir``); a single ``--glenet-ckpt`` (torch) is applied to
+    every fold; ``--random-extractors`` runs the pipeline on a random init."""
     import jax
     import jax.numpy as jnp
 
+    from lidarcrafter_tpu.datasets.object_uncertainty import CLASS_NAMES as RGF_CLASSES
+    from lidarcrafter_tpu.metrics.fg_object import compute_rgf_folds
     from lidarcrafter_tpu.metrics.models.glenet import (
+        EXP20_KWARGS,
         GLENet,
+        load_glenet_fold,
         load_glenet_from_torch,
-        mc_uncertainty,
     )
-    from lidarcrafter_tpu.ops.iou3d import boxes_iou_bev
 
-    if args.glenet_ckpt:
-        model, variables = load_glenet_from_torch(args.glenet_ckpt)
-    elif args.random_extractors:
-        model = GLENet()
-        batch0 = {
-            "points": jnp.zeros((1, args.num_obj_points, 4)),
-            "text_feat": jnp.zeros((1, 512)),
-            "gt_boxes_input": jnp.zeros((1, 8)),
-            "gt_boxes": jnp.zeros((1, 7)),
-        }
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0)}, batch0,
-            rng=jax.random.PRNGKey(1), train=True,
-        )
-    else:
-        return None
-
-    text_feat = np.zeros((len(crops), 512), np.float32)
+    table = {c: np.zeros((1, 512), np.float32) for c in RGF_CLASSES}
     if args.clip_cache and Path(args.clip_cache).exists():
         with open(args.clip_cache, "rb") as f:
-            table = pickle.load(f)
-        for i, key in enumerate(keys):
-            cls = key.rsplit("_", 1)[0]
-            if cls in table:
-                text_feat[i] = np.asarray(table[cls])
+            loaded = pickle.load(f)
+        for c in RGF_CLASSES:
+            if c in loaded:
+                table[c] = np.asarray(loaded[c], np.float32).reshape(1, -1)
 
-    apply_fn = jax.jit(
-        lambda bd, rng: model.apply(variables, bd, rng=rng)
-    )
-    records = {}
-    bs = args.batch_size
-    for i in range(0, len(crops), bs):
-        batch = {
-            "points": jnp.asarray(crops[i : i + bs]),
-            "text_feat": jnp.asarray(text_feat[i : i + bs]),
-        }
-        var, mean = mc_uncertainty(
-            apply_fn, batch, jax.random.PRNGKey(7 + i), num_passes=args.mc_passes
-        )
-        var, mean = np.asarray(var), np.asarray(mean)
-        # overlap: BEV IoU of the mean predicted box against itself-shifted
-        # detection box is unavailable here (crops are box-centered), so use
-        # the IoU between the mean box and the canonical centered box of the
-        # same dims — 1.0 when the net reproduces the detection exactly.
-        canon = np.concatenate(
-            [np.zeros((len(var), 3)), np.abs(mean[:, 3:6]) + 1e-3,
-             np.zeros((len(var), 1))], axis=1,
-        )
-        iou = np.asarray(
-            boxes_iou_bev(jnp.asarray(mean[:, :7]), jnp.asarray(canon))
-        ).diagonal()
-        for j in range(len(var)):
-            records[keys[i + j]] = {
-                "variance": var[j].tolist(),
-                "overlap": float(iou[j]),
-                "pointnum": int(npts[i + j]),
+    shared = None
+    if not args.glenet_fold_dir:
+        if args.glenet_ckpt:
+            shared = load_glenet_from_torch(args.glenet_ckpt, **EXP20_KWARGS)
+        elif args.random_extractors:
+            model = GLENet(**EXP20_KWARGS)
+            batch0 = {
+                "points": jnp.zeros((1, 512, 3)),
+                "text_feat": jnp.zeros((1, 512)),
+                "gt_boxes_input": jnp.zeros((1, 8)),
+                "gt_boxes": jnp.zeros((1, 7)),
             }
-    return records
+            shared = model, model.init(
+                {"params": jax.random.PRNGKey(0)}, batch0,
+                rng=jax.random.PRNGKey(1), train=True,
+            )
+        else:
+            return None
+
+    def build_fold_apply(fold_idx):
+        if args.glenet_fold_dir:
+            model, variables = load_glenet_fold(
+                Path(args.glenet_fold_dir) / f"fold_{fold_idx}.pkl"
+            )
+        else:
+            model, variables = shared
+        return jax.jit(lambda bd, rng: model.apply(variables, bd, rng=rng))
+
+    return compute_rgf_folds(
+        info, build_fold_apply, jax.random.PRNGKey(7),
+        num_passes=args.mc_passes, num_folds=args.rgf_folds,
+        batch_size=args.batch_size, text_feat=table,
+    )
 
 
 def main():
@@ -205,7 +183,11 @@ def main():
                    help="evaluation checkpoints root "
                         "({root}/{dataset}/rangenet/, pointnet.pth, ...)")
     p.add_argument("--pointmlp-ckpt", default=None)
-    p.add_argument("--glenet-ckpt", default=None)
+    p.add_argument("--glenet-ckpt", default=None,
+                   help="single torch GLENet ckpt applied to every fold")
+    p.add_argument("--glenet-fold-dir", default=None,
+                   help="dir of fold_{i}.pkl from tools/train_glenet.py")
+    p.add_argument("--rgf-folds", type=int, default=10)
     p.add_argument("--clip-cache", default=None,
                    help="pickle {class_name: (512,) text feature} for GLENet")
     p.add_argument("--random-extractors", action="store_true",
@@ -323,9 +305,9 @@ def main():
                     batch_size=args.batch_size,
                 )
             if "rgf" in obj_metrics:
-                recs = _rgf_records(args, crops, npts, keys)
-                if recs is not None:
-                    results["object"]["rgf"] = fg_object.compute_rgf(recs)
+                rgf = _rgf_metric(args, info)
+                if rgf is not None:
+                    results["object"]["rgf"] = rgf
 
             if "obj" in obj_metrics and method != "ori" and feats_fn is not None:
                 real_info_path = Path(
