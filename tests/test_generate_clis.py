@@ -40,3 +40,23 @@ def test_generate_cond_cli(tmp_path):
               "--resolution", "32", "64", "-o", str(tmp_path)])
     assert r.returncode == 0, r.stderr[-1500:]
     assert (tmp_path / "cond_sample_0000.txt").exists()
+
+
+def test_sample_and_save_cond_cli(tmp_path):
+    """Eval-scale conditional saver emits reference-format .pth dumps that
+    load back through the interop reader (sample_and_save_cond.py parity)."""
+    r = _run(["tools/sample_and_save_cond.py", "-c", "nuscenes-auto-reg-v2",
+              "--synthetic", "3", "-b", "2", "--num-steps", "2",
+              "--mode", "ddim", "--resolution", "32", "64",
+              "-o", str(tmp_path)])
+    assert r.returncode == 0, r.stderr[-1500:]
+    files = sorted(tmp_path.glob("samples_*.pth"))
+    assert len(files) == 3, [f.name for f in files]
+    assert files[0].name == "samples_0000000_synthetic0.pth"
+
+    from lidarcrafter_tpu.utils.sample_io import load_pth_image, load_pth_points
+
+    img = load_pth_image(files[0])
+    assert img.shape == (5, 32, 64)
+    pts = load_pth_points(files[0])
+    assert pts.ndim == 2 and pts.shape[1] == 4

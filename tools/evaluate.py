@@ -14,17 +14,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _load_dir(d, limit=None):
-    import numpy as np
+    from lidarcrafter_tpu.utils.sample_io import list_sample_files, load_point_file
 
-    files = sorted(Path(d).glob("*.txt")) + sorted(Path(d).glob("*.npy"))
-    if limit:
-        files = files[:limit]
-    out = []
-    for f in files:
-        arr = np.load(f) if f.suffix == ".npy" else np.loadtxt(f)
-        out.append(arr[:, :3].astype(np.float32))
+    out = [load_point_file(f)[:, :3] for f in list_sample_files(d, limit)]
     if not out:
-        raise SystemExit(f"no .txt/.npy point files found in {d}")
+        raise SystemExit(f"no .txt/.npy/.bin/.pth point files found in {d}")
     return out
 
 
