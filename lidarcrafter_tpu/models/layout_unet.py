@@ -27,7 +27,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from . import encoding as enc
-from ..ops.pallas_attention import attention_bhld, use_fused_attention
+from ..ops.pallas_attention import (
+    attention_bhld,
+    oaca_attention,
+    use_fused_attention,
+)
 from ..utils.lidar import get_linear_ray_angles_np
 from .efficient_unet import TimeEmbedding
 from .ops import GroupNorm32, Resample, RingConv, softmax_f32_math
@@ -204,9 +208,6 @@ class ObjectAwareCrossAttention(nn.Module):
             ipe = gn32(name="norm_for_image_patch_positional_embedding")(pos_proj(patch_raw))
         ipe = _split_heads(ipe, nh)  # (B, h, L1, pe/h)
 
-        q_img = jnp.concatenate([q_c, ipe], axis=-1)
-        k_img = jnp.concatenate([k_c, ipe], axis=-1)
-
         lpe_raw = cond_kwargs["obj_bbox_embedding"]  # (B, L2, enc_ch)
         if self.norm_first:
             lpe = pos_proj(gn32(name="norm_for_layout_positional_embedding")(lpe_raw))
@@ -225,15 +226,19 @@ class ObjectAwareCrossAttention(nn.Module):
         k_l = jnp.concatenate([_split_heads(k_lc, nh), lpe], axis=-1)
         v_l = _split_heads(v_lc, nh)
 
-        k_mix = jnp.concatenate([k_img, k_l], axis=2)  # (B, h, L1+L2, (1+s)dh)
-        v_mix = jnp.concatenate([v_c, v_l], axis=2)
-
         scale = float(1.0 / np.sqrt(np.sqrt(
             int((1 + self.channels_scale_for_positional_embedding) * C) // nh
         )))  # python float: np scalars promote bf16 logits to f32
         if use_fused_attention(H * W):
-            out = attention_bhld(q_img * scale, k_mix * scale, v_mix)
+            # split-strip kernel: q/k concats, scale pre-multiplies and the
+            # kv pad never materialize in HBM (they cost 27+23+4 ms per
+            # 50-step flagship call as XLA ops, round-4 trace)
+            out = oaca_attention(q_c, ipe, k_c, k_l, v_c, v_l, scale=scale)
         else:
+            q_img = jnp.concatenate([q_c, ipe], axis=-1)
+            k_img = jnp.concatenate([k_c, ipe], axis=-1)
+            k_mix = jnp.concatenate([k_img, k_l], axis=2)  # (B, h, L1+L2, (1+s)dh)
+            v_mix = jnp.concatenate([v_c, v_l], axis=2)
             logits = jnp.einsum("bhtc,bhsc->bhts", q_img * scale, k_mix * scale)
             w = softmax_f32_math(logits)
             out = jnp.einsum("bhts,bhsc->bhtc", w, v_mix)

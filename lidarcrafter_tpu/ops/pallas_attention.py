@@ -180,6 +180,178 @@ def attention_bhld(
     return out.reshape(B, h, Lq, dv)
 
 
+def _oaca_kernel(
+    qc_ref, ipeq_ref, kimg_ref, kl_ref, vc_ref, vl_ref, o_ref,
+    *, scale2: float, l2_len: int,
+):
+    """ObjectAwareCrossAttention forward for one (batch·head, q-tile) program.
+
+    The query concat [q_c | ipe] happens in VMEM (each program owns its q
+    tile — no rebuild waste); the image K strip arrives pre-concatenated
+    (XLA fuses that concat; rebuilding it per program measured +30 ms/call).
+    The layout strip stays SPLIT from the image strip, so the XLA-side
+    ``k_mix``/``v_mix`` concat + pad-to-lane-multiple materializations
+    (measured 27 + 23 ms per 50-step call, round-4 trace) never exist.  The
+    softmax runs jointly over both strips; ``scale2`` folds the reference's
+    q·scale, k·scale pre-multiplies into the f32 logits.
+    """
+    q = jnp.concatenate([qc_ref[0], ipeq_ref[0]], axis=-1)  # (bq, dc+dp)
+    l1 = jax.lax.dot_general(
+        q, kimg_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale2
+    l2 = jax.lax.dot_general(
+        q, kl_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale2
+    if l2_len < l2.shape[-1]:
+        idx = jax.lax.broadcasted_iota(jnp.int32, l2.shape, 1)
+        l2 = jnp.where(idx < l2_len, l2, -jnp.inf)
+    m = jnp.maximum(
+        jnp.max(l1, axis=-1, keepdims=True), jnp.max(l2, axis=-1, keepdims=True)
+    )
+    e1 = jnp.exp(l1 - m)
+    e2 = jnp.exp(l2 - m)
+    den = jnp.sum(e1, axis=-1, keepdims=True) + jnp.sum(e2, axis=-1, keepdims=True)
+    vc = vc_ref[0]
+    out = jax.lax.dot_general(
+        (e1 / den).astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        (e2 / den).astype(vc.dtype), vl_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _oaca_unfused(q_c, ipe, k_c, k_l, v_c, v_l, scale):
+    """XLA reference formulation (the blocks' einsum math); used as the
+    backward-pass recompute — ``pallas_call`` has no transpose rule, so the
+    fused forward pairs with a plain-XLA reverse (standard flash-attention
+    recompute, same policy as ``_flash_attention_bwd``)."""
+    q_img = jnp.concatenate([q_c, ipe], axis=-1)
+    k_img = jnp.concatenate([k_c, ipe], axis=-1)
+    k_mix = jnp.concatenate([k_img, k_l], axis=2)
+    v_mix = jnp.concatenate([v_c, v_l], axis=2)
+    logits = jnp.einsum(
+        "bhtc,bhsc->bhts",
+        (q_img * scale).astype(jnp.float32),
+        (k_mix * scale).astype(jnp.float32),
+    )
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhts,bhsc->bhtc", w, v_mix.astype(jnp.float32)).astype(
+        q_c.dtype
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _oaca_ad(statics, q_c, ipe, k_c, k_l, v_c, v_l):
+    scale, block_q, interpret = statics
+    return _oaca_call(
+        q_c, ipe, k_c, k_l, v_c, v_l,
+        scale=scale, block_q=block_q, interpret=interpret,
+    )
+
+
+def _oaca_fwd(statics, q_c, ipe, k_c, k_l, v_c, v_l):
+    return _oaca_ad(statics, q_c, ipe, k_c, k_l, v_c, v_l), (
+        q_c, ipe, k_c, k_l, v_c, v_l,
+    )
+
+
+def _oaca_bwd(statics, res, g):
+    scale = statics[0]
+    _, vjp = jax.vjp(lambda *a: _oaca_unfused(*a, scale), *res)
+    return vjp(g)
+
+
+_oaca_ad.defvjp(_oaca_fwd, _oaca_bwd)
+
+
+def oaca_attention(
+    q_c: jnp.ndarray,
+    ipe: jnp.ndarray,
+    k_c: jnp.ndarray,
+    k_l: jnp.ndarray,
+    v_c: jnp.ndarray,
+    v_l: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable wrapper: Mosaic forward, XLA-recompute backward."""
+    return _oaca_ad(
+        (float(scale), int(block_q), bool(interpret)),
+        q_c, ipe, k_c, k_l, v_c, v_l,
+    )
+
+
+def _oaca_call(
+    q_c: jnp.ndarray,
+    ipe: jnp.ndarray,
+    k_c: jnp.ndarray,
+    k_l: jnp.ndarray,
+    v_c: jnp.ndarray,
+    v_l: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused ObjectAwareCrossAttention over split image/layout strips.
+
+    Args (all (B, h, L, d), bf16 or f32):
+      q_c / k_c / v_c: per-head image content projections, L = H·W tokens.
+      ipe: per-head image-patch positional embedding — used on BOTH the
+        query and key side (the block concatenates the same ipe onto q_c and
+        k_c, ``models/layout_unet.py:207-208``), so it is passed once and
+        mapped into the kernel twice.
+      k_l / v_l: layout-token strips; k_l is the (small) pre-concatenated
+        [k_content | layout-pe] strip, L2 real tokens (any length — the
+        kernel masks past it after internal padding).
+      scale: the per-operand 1/sqrt(sqrt(d)) factor; applied as scale² on
+        the f32 logits (exactly (q·s)·(k·s) up to one bf16 rounding, which
+        the f32 route avoids).
+
+    Returns (B, h, Lq, dv).
+    """
+    B, h, Lq, dc = q_c.shape
+    dp = ipe.shape[-1]
+    L2 = k_l.shape[2]
+    dv = v_c.shape[-1]
+    # image K strip pre-concatenated (one fused XLA concat, reused by every
+    # q-tile program); layout strip stays split and sublane-padded
+    k_img = jnp.concatenate([k_c, ipe], axis=-1)
+    L2p = max(((L2 + 7) // 8) * 8, 8)
+    if L2p != L2:
+        k_l = jnp.pad(k_l, ((0, 0), (0, 0), (0, L2p - L2), (0, 0)))
+        v_l = jnp.pad(v_l, ((0, 0), (0, 0), (0, L2p - L2), (0, 0)))
+    BH = B * h
+    block_q = min(block_q, Lq)
+    assert Lq % block_q == 0, (Lq, block_q)
+    flat = lambda t: t.reshape(BH, *t.shape[2:])
+    kernel = functools.partial(
+        _oaca_kernel, scale2=float(scale) ** 2, l2_len=L2
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(BH, Lq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dc), lambda b, i: (b, i, 0)),   # q_c
+            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0)),   # ipe (q side)
+            pl.BlockSpec((1, Lq, dc + dp), lambda b, i: (b, 0, 0)),   # k_img
+            pl.BlockSpec((1, L2p, dc + dp), lambda b, i: (b, 0, 0)),  # k_l
+            pl.BlockSpec((1, Lq, dv), lambda b, i: (b, 0, 0)),        # v_c
+            pl.BlockSpec((1, L2p, dv), lambda b, i: (b, 0, 0)),       # v_l
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dv), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Lq, dv), q_c.dtype),
+        interpret=interpret,
+    )(flat(q_c), flat(ipe), flat(k_img), flat(k_l), flat(v_c), flat(v_l))
+    return out.reshape(B, h, Lq, dv)
+
+
 def use_fused_attention(Lq: int, block_q: int = 512) -> bool:
     """Route the layout attention blocks through the Mosaic kernel?
 

@@ -15,6 +15,7 @@ import pytest
 from lidarcrafter_tpu.ops.pallas_attention import (
     attention_bhld,
     flash_attention,
+    oaca_attention,
     use_fused_attention,
 )
 
@@ -41,6 +42,101 @@ def test_attention_bhld_matches_einsum(B, h, Lq, Lkv, dqk, dv):
     got = attention_bhld(q, k, v, interpret=True)
     ref = _ref(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "B,h,L1,L2,dc,dp,dv",
+    [
+        (2, 2, 256, 13, 32, 32, 32),   # production OACA class (scale=1.0 pe)
+        (1, 3, 128, 5, 32, 16, 32),    # half-scale pe, odd layout count
+        (2, 1, 512, 8, 64, 64, 64),    # L2 already a sublane multiple
+    ],
+)
+def test_oaca_attention_matches_block_einsum(B, h, L1, L2, dc, dp, dv):
+    """The split-strip OACA kernel must equal the block's unfused math:
+    q=[q_c|ipe], k_img=[k_c|ipe], k_mix=[k_img;k_l], joint f32 softmax —
+    with the scale folded as scale^2 on the logits."""
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    q_c = jax.random.normal(ks[0], (B, h, L1, dc), jnp.float32)
+    ipe = jax.random.normal(ks[1], (B, h, L1, dp), jnp.float32)
+    k_c = jax.random.normal(ks[2], (B, h, L1, dc), jnp.float32)
+    k_l = jax.random.normal(ks[3], (B, h, L2, dc + dp), jnp.float32)
+    v_c = jax.random.normal(ks[4], (B, h, L1, dv), jnp.float32)
+    v_l = jax.random.normal(ks[5], (B, h, L2, dv), jnp.float32)
+    scale = float(1.0 / np.sqrt(np.sqrt(dc + dp)))
+
+    got = oaca_attention(q_c, ipe, k_c, k_l, v_c, v_l, scale=scale,
+                         block_q=128, interpret=True)
+
+    q_img = jnp.concatenate([q_c, ipe], axis=-1)
+    k_img = jnp.concatenate([k_c, ipe], axis=-1)
+    k_mix = jnp.concatenate([k_img, k_l], axis=2)
+    v_mix = jnp.concatenate([v_c, v_l], axis=2)
+    ref = _ref(q_img * scale, k_mix * scale, v_mix)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_oaca_attention_bf16_close_to_f32():
+    """bf16 strips through the kernel stay within bf16 tolerance of the f32
+    unfused math (the production dtype)."""
+    B, h, L1, L2, dc, dp, dv = 1, 2, 128, 13, 32, 32, 32
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    args32 = [
+        jax.random.normal(k, s, jnp.float32)
+        for k, s in zip(ks, [
+            (B, h, L1, dc), (B, h, L1, dp), (B, h, L1, dc),
+            (B, h, L2, dc + dp), (B, h, L1, dv), (B, h, L2, dv),
+        ])
+    ]
+    scale = float(1.0 / np.sqrt(np.sqrt(dc + dp)))
+    got = oaca_attention(*[a.astype(jnp.bfloat16) for a in args32],
+                         scale=scale, block_q=128, interpret=True)
+    q_c, ipe, k_c, k_l, v_c, v_l = args32
+    q_img = jnp.concatenate([q_c, ipe], axis=-1)
+    k_mix = jnp.concatenate(
+        [jnp.concatenate([k_c, ipe], axis=-1), k_l], axis=2
+    )
+    v_mix = jnp.concatenate([v_c, v_l], axis=2)
+    ref = _ref(q_img * scale, k_mix * scale, v_mix)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_oaca_attention_grad_matches_unfused():
+    """The custom VJP (XLA-recompute backward) must match differentiating
+    the unfused block math directly."""
+    B, h, L1, L2, dc, dp, dv = 1, 2, 128, 5, 32, 16, 32
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    args = [
+        jax.random.normal(k, s, jnp.float32)
+        for k, s in zip(ks, [
+            (B, h, L1, dc), (B, h, L1, dp), (B, h, L1, dc),
+            (B, h, L2, dc + dp), (B, h, L1, dv), (B, h, L2, dv),
+        ])
+    ]
+    scale = 0.41
+
+    def fused_loss(*a):
+        return jnp.sum(
+            oaca_attention(*a, scale=scale, block_q=128, interpret=True) ** 2
+        )
+
+    def ref_loss(*a):
+        q_c, ipe, k_c, k_l, v_c, v_l = a
+        q_img = jnp.concatenate([q_c, ipe], axis=-1)
+        k_mix = jnp.concatenate(
+            [jnp.concatenate([k_c, ipe], axis=-1), k_l], axis=2
+        )
+        v_mix = jnp.concatenate([v_c, v_l], axis=2)
+        return jnp.sum(_ref(q_img * scale, k_mix * scale, v_mix) ** 2)
+
+    g_fused = jax.grad(fused_loss, argnums=tuple(range(6)))(*args)
+    g_ref = jax.grad(ref_loss, argnums=tuple(range(6)))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5)
 
 
 def test_flash_attention_masks_padded_tail():
