@@ -318,12 +318,15 @@ def bench_layout_cond(name="nuscenes-auto-reg-v2", B=None, with_cost=False,
     return rate
 
 
-def bench_rollout(frames=int(os.environ.get("BENCH_FRAMES", "15")), scenes=1):
+def bench_rollout(frames=int(os.environ.get("BENCH_FRAMES", "15")), scenes=1,
+                  mode="ddim", num_steps=None):
     """Full 1+15-frame autoregressive rollout, on-device pipeline
     (cf. ``sample_and_save_temporal.py:203-335``), batched over ``scenes``.
     Frame 0 is the REAL ``nuscenes-box-layout-v6`` stack (the reference's
     frame-0 generator, ``sample_and_save_temporal.py:51-57``); frames 1..15
-    the ``nuscenes-auto-reg-v2`` stack.  Returns (wall seconds, frames/s)."""
+    the ``nuscenes-auto-reg-v2`` stack.  ``mode``/``num_steps`` select the
+    sampler (product path: DPM++(2M) @ 25 — certified 50-DDIM-equivalent by
+    tests/test_dpmpp.py).  Returns (wall seconds, frames/s)."""
     from lidarcrafter_tpu.pipeline import TemporalRollout
 
     S = scenes
@@ -338,8 +341,9 @@ def bench_rollout(frames=int(os.environ.get("BENCH_FRAMES", "15")), scenes=1):
     pipeline = TemporalRollout(
         cond_engine=engine0, cond_params=params0,
         autoreg_engine=engine, autoreg_params=params,
-        lidar_utils=lidar_utils, num_sampling_steps=NUM_STEPS,
-        sampling_mode="ddim",
+        lidar_utils=lidar_utils,
+        num_sampling_steps=NUM_STEPS if num_steps is None else num_steps,
+        sampling_mode=mode,
     )
     K = 4
     r = np.random.RandomState(0)
@@ -406,6 +410,13 @@ def main():
                 _, fps = bench_rollout(scenes=s8)
                 _progress(f"rollout x{s8}: {fps:.2f} f/s")
                 extra[f"rollout_scenes{s8}_frames_per_sec"] = round(fps, 2)
+            if s8 > 1 and within_budget():
+                # product-path rollout: DPM++(2M) @ 25 steps (same certified
+                # solver as the layout-cond fast path above)
+                _progress(f"rollout x{s8} DPM++(2M)@25: building + compiling")
+                _, fps = bench_rollout(scenes=s8, mode="dpmpp_2m", num_steps=25)
+                _progress(f"rollout x{s8} DPM++(2M)@25: {fps:.2f} f/s")
+                extra[f"rollout_scenes{s8}_fps_25step_dpmpp2m"] = round(fps, 2)
             if within_budget():
                 extra["layout_cond_fps_50step_ddim_b1"] = round(
                     bench_layout_cond(B=1), 3

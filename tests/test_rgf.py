@@ -216,7 +216,7 @@ def test_rgf_end_to_end_with_fold_trainer(tmp_path):
          "--fg-info", str(info_pkl), "--text-feat", str(tf_pkl),
          "--folds", "0,1", "--epochs", "2", "--steps-per-epoch", "2",
          "--batch-size", "4", "--lr", "1e-4", "-o", str(out)],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=1200,
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert (out / "fold_0.pkl").exists() and (out / "fold_1.pkl").exists()
