@@ -237,34 +237,6 @@ def test_stacked_ops_roundtrip():
     assert int(np.asarray(tidx)[0, 0]) == 0
 
 
-def test_pallas_chamfer_matches_lax():
-    from lidarcrafter_tpu.ops.pallas_chamfer import chamfer_distance_pallas, nn_min_dist_pallas
-
-    rng = np.random.RandomState(0)
-    x = rng.randn(100, 3).astype(np.float32)
-    y = rng.randn(140, 3).astype(np.float32)
-    got = np.asarray(nn_min_dist_pallas(jnp.asarray(x), jnp.asarray(y),
-                                        query_tile=32, ref_tile=32))
-    D = np.sum((x[:, None] - y[None]) ** 2, axis=-1)
-    np.testing.assert_allclose(got, D.min(1), rtol=1e-4, atol=1e-4)
-
-    # masked refs excluded
-    mask = np.ones(140, bool); mask[D.argmin(1)[0]] = False
-    got_m = np.asarray(nn_min_dist_pallas(jnp.asarray(x), jnp.asarray(y),
-                                          jnp.asarray(mask), query_tile=32, ref_tile=32))
-    Dm = D.copy(); Dm[:, ~mask] = 1e10
-    np.testing.assert_allclose(got_m, Dm.min(1), rtol=1e-4, atol=1e-4)
-
-    # batched bidirectional agrees with the lax chamfer
-    xb = rng.randn(2, 64, 3).astype(np.float32)
-    yb = rng.randn(2, 96, 3).astype(np.float32)
-    d1p, d2p = chamfer_distance_pallas(jnp.asarray(xb), jnp.asarray(yb),
-                                       query_tile=32, ref_tile=32)
-    d1, d2, _, _ = chamfer_distance(jnp.asarray(xb), jnp.asarray(yb), chunk=32)
-    np.testing.assert_allclose(np.asarray(d1p), np.asarray(d1), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(d2p), np.asarray(d2), rtol=1e-4, atol=1e-4)
-
-
 def test_voxel_indices_grid_and_query():
     """voxel_query semantics vs a numpy replay of the CUDA kernel loop."""
     from lidarcrafter_tpu.ops.stack import voxel_indices_grid, voxel_query

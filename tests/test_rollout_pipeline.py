@@ -1,6 +1,7 @@
 """Integration: tiny tri-branch 4D rollout end-to-end (2 sampling steps, 2 frames)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +51,8 @@ def _branch(out_channels_enc, extra_in, seed):
     return engine, params
 
 
-def test_temporal_rollout_smoke():
+@pytest.mark.parametrize("mode", ["ddim", "dpmpp_2m"])
+def test_temporal_rollout_smoke(mode):
     cond_engine, cond_params = _branch(10, extra_in=False, seed=0)
     auto_engine, auto_params = _branch(11, extra_in=True, seed=10)
     utils = LiDARUtility.create((H, W), "log_depth", 1.45, 80.0)
@@ -58,7 +60,7 @@ def test_temporal_rollout_smoke():
     pipeline = TemporalRollout(
         cond_engine=cond_engine, cond_params=cond_params,
         autoreg_engine=auto_engine, autoreg_params=auto_params,
-        lidar_utils=utils, num_sampling_steps=2, sampling_mode="ddim",
+        lidar_utils=utils, num_sampling_steps=2, sampling_mode=mode,
         max_points_per_obj=64,
     )
 

@@ -34,10 +34,11 @@ CLASS_NAMES = ("car", "truck", "bus", "pedestrian")
 
 
 def _load_dir(d, limit=None):
+    from lidarcrafter_tpu.utils.progress import Bar
     from lidarcrafter_tpu.utils.sample_io import list_sample_files, load_point_file
 
     out = []
-    for f in list_sample_files(d, limit):
+    for f in Bar.wrap(list_sample_files(d, limit), desc=f"load {Path(d).name}"):
         arr = load_point_file(f)
         if arr.shape[1] < 4:
             arr = np.concatenate([arr, np.zeros((len(arr), 1))], 1)
@@ -354,63 +355,18 @@ def main():
 
 
 def _rangenet_lidargen(args):
-    """Pretrained RangeNet → ``feature='lidargen'`` (B, 4096) extractor; cf.
-    ``rangenet.rangenet53(...)`` + ``extract_img_feats`` in the reference."""
-    import torch
+    """Pretrained RangeNet → ``feature='lidargen'`` extractor; shared loader
+    in :mod:`lidarcrafter_tpu.metrics.pretrained`."""
+    from lidarcrafter_tpu.metrics.pretrained import load_rangenet_lidargen
 
-    import jax
-
-    from lidarcrafter_tpu.metrics.extractor.rangenet import (
-        RangeNet,
-        convert_rangenet_folder,
-        preprocess_range_input,
-    )
-
-    folder = Path(args.pretrained_root) / args.dataset / "rangenet"
-    if not folder.exists():
-        return None
-    backbone = torch.load(folder / "backbone", map_location="cpu",
-                          weights_only=False)
-    decoder = torch.load(folder / "segmentation_decoder", map_location="cpu",
-                         weights_only=False)
-    params = convert_rangenet_folder(backbone, decoder)
-    nrb8 = any(k.startswith("enc3.residual_7") for k in backbone)
-    model = RangeNet(num_classes=17, backbone=53 if nrb8 else 21)
-
-    @jax.jit
-    def apply(img):
-        return model.apply(params, preprocess_range_input(img), "lidargen")
-
-    return apply
+    return load_rangenet_lidargen(args.pretrained_root, args.dataset)
 
 
 def _pointnet_apply(args):
     """Pretrained shapenet PointNet feature extractor (FPD)."""
-    import torch
+    from lidarcrafter_tpu.metrics.pretrained import load_pointnet
 
-    import jax
-
-    from lidarcrafter_tpu.metrics.extractor.pointnet import (
-        PointNetFeatureExtractor,
-        convert_pointnet_state_dict,
-    )
-
-    cands = list(Path(args.pretrained_root).rglob("pointnet*.pth"))
-    if not cands:
-        return None
-    sd = torch.load(cands[0], map_location="cpu", weights_only=False)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
-    variables = convert_pointnet_state_dict(
-        {k: v.numpy() for k, v in sd.items()}
-    )
-    model = PointNetFeatureExtractor()
-
-    @jax.jit
-    def apply(pts):
-        return model.apply(variables, pts)
-
-    return apply
+    return load_pointnet(args.pretrained_root)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,10 @@ def main():
                         help="pickle: list of first-frame batches with gt_fut_trajs/boxes")
     parser.add_argument("--num-frames", type=int, default=15)
     parser.add_argument("--num-steps", type=int, default=256)
+    parser.add_argument("--mode", choices=["ddpm", "ddim", "dpmpp_2m"],
+                        default="ddpm",
+                        help="sampler; dpmpp_2m @ 25 steps is the certified "
+                             "product fast path (BASELINE.md round 4)")
     parser.add_argument("--interp", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("-o", "--output", default="temporal_points")
@@ -73,6 +77,7 @@ def main():
         cond_engine=cond_engine, cond_params=cond_params,
         autoreg_engine=auto_engine, autoreg_params=auto_params,
         lidar_utils=lidar_utils, num_sampling_steps=args.num_steps,
+        sampling_mode=args.mode,
     )
 
     with open(args.scenes, "rb") as f:
