@@ -99,22 +99,28 @@ def box_recall_counts(
 ) -> dict:
     """One sample's recall tallies; cf. ``pcdet_eval_utils.statistics_info``
     (:12-19) accumulating ``recall_rcnn_*`` / ``gt_num``."""
-    out = {f"recall_rcnn_{t}": 0 for t in thresholds}
-    out["gt_num"] = int(len(gt_boxes))
-    if len(gt_boxes) == 0:
-        return out
-    if len(det_boxes) == 0:
-        return out
     # IoU reads only the 7 geometry columns; tolerate 9-dim boxes carrying
-    # velocity columns (nuScenes converter format) by slicing before padding.
-    det7 = np.asarray(det_boxes, np.float32).reshape(len(det_boxes), -1)[:, :7]
-    gt7 = np.asarray(gt_boxes, np.float32).reshape(len(gt_boxes), -1)[:, :7]
+    # velocity columns (nuScenes converter format) and single flat (7,)/(9,)
+    # boxes by normalizing to (N, 7) before padding.
+    def _as_boxes7(arr):
+        a = np.asarray(arr, np.float32)
+        if a.size == 0:
+            return a.reshape(0, 7)
+        if a.ndim == 1:
+            a = a.reshape(1, -1)
+        return a.reshape(len(a), -1)[:, :7]
+
+    det7, gt7 = _as_boxes7(det_boxes), _as_boxes7(gt_boxes)
+    out = {f"recall_rcnn_{t}": 0 for t in thresholds}
+    out["gt_num"] = int(len(gt7))
+    if len(gt7) == 0 or len(det7) == 0:
+        return out
     best = np.asarray(
         _max_iou_per_gt(
             jnp.asarray(_pad_boxes(det7)),
             jnp.asarray(_pad_boxes(gt7)),
         )
-    )[: len(gt_boxes)]
+    )[: len(gt7)]
     for t in thresholds:
         out[f"recall_rcnn_{t}"] = int((best >= t).sum())
     return out

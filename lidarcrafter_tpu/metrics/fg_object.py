@@ -251,9 +251,11 @@ def compute_rgf_folds(infos, build_fold_apply, rng, num_passes: int = 30,
     result_json = {}
     for fold_idx in range(num_folds):
         apply_fn = build_fold_apply(fold_idx)
+        # seeded per fold: the 512-point resample in each MC pass must not
+        # ride the global np.random stream, or RGF becomes nondeterministic
         ds = ObjectUncertaintyDataset(
             used_infos, fold_idx, text_feat, training=False,
-            point_dims=point_dims,
+            point_dims=point_dims, rng=np.random.RandomState(1000 + fold_idx),
         )
         passes = [
             glenet_pass_records(

@@ -79,15 +79,21 @@ class Bar:
     def update(self, n: int = 1):
         self.count += n
         now = time.monotonic()
+        finished = bool(self.total) and self.count >= self.total
         if self._isatty:
-            if now - self._last_draw >= self.min_interval or self.count >= self.total:
+            if finished or now - self._last_draw >= self.min_interval:
                 self._last_draw = now
                 self._draw(end="\r")
-        else:
+        elif self.total:
             # one line per decile (plus the final one) on non-TTY streams
-            decile = (10 * self.count // self.total) if self.total else 0
-            if decile != self._last_nontty_decile or self.count >= self.total:
+            decile = 10 * self.count // self.total
+            if decile != self._last_nontty_decile or finished:
                 self._last_nontty_decile = decile
+                self._draw(end="\n")
+        else:
+            # unknown total on non-TTY: time-throttled lines, never per-item
+            if now - self._last_draw >= max(self.min_interval, 2.0):
+                self._last_draw = now
                 self._draw(end="\n")
 
     def _draw(self, end: str):
@@ -115,8 +121,8 @@ class Bar:
         if self._closed:
             return
         self._closed = True
-        if self._isatty:
-            self._draw(end="\n")
+        if self._isatty or not self.total:
+            self._draw(end="\n")  # final count always lands in the output
 
     def __enter__(self):
         return self

@@ -131,6 +131,16 @@ def test_box_recall_rotated_iou():
     assert c0["gt_num"] == 2 and c0["recall_rcnn_0.3"] == 0
 
 
+def test_box_recall_flat_single_box():
+    """A single unbatched (7,)/(9,) box must be read as ONE box, not as 7
+    one-column boxes (round-4 review regression)."""
+    b = np.asarray(box(0, 0), np.float32)  # flat (7,)
+    c = box_recall_counts(b, b)
+    assert c["gt_num"] == 1 and c["recall_rcnn_0.7"] == 1
+    c9 = box_recall_counts(np.concatenate([b, [9.9, 9.9]]), b)
+    assert c9["gt_num"] == 1 and c9["recall_rcnn_0.7"] == 1
+
+
 def test_box_recall_nine_dim_boxes():
     """Converter boxes carry (…, vx, vy) velocity columns; recall must read
     only the 7 geometry columns instead of raising a broadcast error (advisor

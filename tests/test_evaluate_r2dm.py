@@ -84,7 +84,9 @@ def test_r2dm_driver_end_to_end(tmp_path, monkeypatch):
     assert set(results["bev"]) == {"jsd", "mmd"}
     for v in results["bev"].values():
         assert np.isfinite(v)
-    assert (tmp_path / "cache" / "real_set_8x64.pkl").exists()
+    # cache name is keyed on the extractor/real-dir/limit fingerprint so a
+    # random-extractor smoke can never poison a pretrained run
+    assert list((tmp_path / "cache").glob("real_set_8x64_*.pkl"))
 
     # second run hits the cache (and --no-reflectance drops the img branch)
     monkeypatch.setattr(sys, "argv", argv + ["--no-reflectance"])

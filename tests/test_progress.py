@@ -63,6 +63,18 @@ def test_bar_suffix_and_unknown_total():
     assert "loss 0.12" in text and "n? 3" in text
 
 
+def test_bar_unknown_total_nontty_is_throttled():
+    out = io.StringIO()  # non-TTY, total unknown
+    bar = Bar(0, desc="gen", stream=out)
+    for _ in range(50):
+        bar.update()
+    bar.close()
+    lines = [l for l in out.getvalue().splitlines() if l]
+    # time-throttled: first line + the close line, never one per item
+    assert len(lines) <= 2
+    assert "gen 50" in lines[-1]
+
+
 def test_progress_bar_functional_form():
     out = io.StringIO()
     for epoch in range(2):  # second epoch must restart cleanly at current==0

@@ -18,6 +18,7 @@ Usage:
 """
 
 import argparse
+import hashlib
 import json
 import pickle
 import random
@@ -30,9 +31,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from lidarcrafter_tpu.utils.progress import Bar  # noqa: E402
 
+# LiDARGen depth window lives in sample_io (one authoritative copy);
 # cf. evaluate_r2dm.py:24-26
-MIN_DEPTH = 0.5
-MAX_DEPTH = 63.0
+from lidarcrafter_tpu.utils.sample_io import MAX_DEPTH, MIN_DEPTH  # noqa: E402
+
 DATASET_MAX_DEPTH = 80.0
 
 
@@ -175,10 +177,18 @@ def main():
     results = {"img": {}, "pts": {}, "bev": {}, "info": {}}
     results["info"]["directory"] = args.sample_dir
 
-    # real arm, cached like the reference (:99-133)
+    # real arm, cached like the reference (:99-133) — but keyed on everything
+    # the features depend on (extractors, real dir, limit, depth window), so
+    # a smoke run with --random-extractors can never poison a pretrained run
     cache_dir = Path(args.cache_dir or Path(args.sample_dir).parent)
     cache_dir.mkdir(parents=True, exist_ok=True)
-    cache = cache_dir / f"real_set_{H}x{W}.pkl"
+    key = hashlib.sha1("|".join([
+        str(Path(args.real_dir).resolve()), str(args.limit),
+        "rand" if args.random_extractors else (args.pretrained_root or "none"),
+        args.dataset, "img" if with_img else "noimg",
+        f"{args.min_depth}-{args.max_depth}",
+    ]).encode()).hexdigest()[:10]
+    cache = cache_dir / f"real_set_{H}x{W}_{key}.pkl"
     if cache.exists():
         print(f"found cached {cache}")
         real_set = pickle.load(open(cache, "rb"))

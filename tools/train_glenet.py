@@ -102,7 +102,7 @@ def main():
             infos, fold_idx, text_feat, training=True,
             point_dims=args.point_dims, rng=rng,
         )
-        spe = args.steps_per_epoch or max(len(ds) // args.batch_size, 1)
+        spe = args.steps_per_epoch or max(-(-len(ds) // args.batch_size), 1)
         total_steps = spe * args.epochs
         tx = make_glenet_optimizer(lr=args.lr, total_steps=total_steps)
         first = next(ds.batches(args.batch_size))
@@ -115,13 +115,19 @@ def main():
         step = make_glenet_train_step(model, tx)
 
         def batch_iter():
-            # fixed-size batches over reshuffled epochs (keeps the step jitted
-            # at one shape; the reference shuffles per epoch, drop_last=False)
+            # fixed-size batches over reshuffled epochs; the tail batch is
+            # KEPT (reference trains drop_last=False) by wrap-filling it from
+            # the head of the same shuffled order, so every crop is seen each
+            # epoch, the step count matches ceil(n/bs), and the jitted step
+            # still sees one static shape
             bs = min(args.batch_size, len(ds))
             while True:
                 order_ = rng.permutation(len(ds))
-                for start in range(0, len(order_) - bs + 1, bs):
-                    items = [ds[j] for j in order_[start : start + bs]]
+                for start in range(0, len(order_), bs):
+                    idx = order_[start : start + bs]
+                    if len(idx) < bs:
+                        idx = np.concatenate([idx, order_[: bs - len(idx)]])
+                    items = [ds[j] for j in idx]
                     yield {
                         k: jnp.asarray(np.stack([item[k] for item in items]))
                         for k in items[0]
