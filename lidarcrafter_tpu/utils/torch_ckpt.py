@@ -1121,3 +1121,77 @@ def convert_refinenet(sd: Mapping) -> dict:
     params["u2"] = refineblock("u_block2", 2)
     params["u1"] = refineblock("u_block1", 2, num_end_blocks=3)
     return {"params": params}
+
+
+# ------------------------------------------------- config-driven ingestion
+
+
+def ingest_checkpoint_for_config(cfg, path: str, use_ema: bool = True):
+    """One call from a reference ``.pth`` to the params pytree our sampling
+    CLIs expect for ``cfg`` — the migration path for released checkpoints
+    (reference loaders: ``inference.py:28-117``).
+
+    The reference saves the ENGINE state_dict ({'weights', 'ema_weights',
+    'cfg', ...}, ``train_lidm.py:249-259``), nesting the denoiser under
+    ``model.`` and the condition encoder under ``condition_model.``.
+    Returns the denoiser variables for unconditional/flow configs, or
+    ``{"model": ..., "cond": ...}`` for conditional stacks (matching
+    ``tools/generate*.py``'s init trees).
+    """
+    sd, _ = load_torch_checkpoint(path, use_ema)
+    if any(k.startswith("ema_model.") for k in sd):  # ema.state_dict() form
+        sd = strip_prefix(sd, "ema_model.")
+    model_sd = (
+        strip_prefix(sd, "model.")
+        if any(k.startswith("model.") for k in sd)
+        else sd
+    )
+    cond_sd = strip_prefix(sd, "condition_model.")
+
+    arch = cfg.model.architecture
+    mp = dict(cfg.model.params)
+    if arch in ("efficient_unet", "efficient_unet_cond", "mf_efficient_unet"):
+        model = convert_efficient_unet(
+            model_sd,
+            attn_num_heads=mp.get("attn_num_heads", 8),
+            mf=(arch == "mf_efficient_unet"),
+        )
+    elif arch == "hdit":
+        model = convert_hdit(model_sd)
+    elif arch in ("layout_unet", "layout_unet_v1"):
+        model = convert_layout_unet(
+            model_sd,
+            channel_mult=tuple(mp.get("channel_mult", (1, 2, 4, 8))),
+            num_res_blocks=mp.get("num_res_blocks", 2),
+            attention_ds=tuple(mp.get("attention_ds", (4, 8))),
+            num_attention_blocks=mp.get("num_attention_blocks", 1),
+        )
+    elif arch == "unet_1d":
+        model = convert_unet_1d(
+            model_sd,
+            channel_mult=tuple(mp.get("channel_mult", (1, 1, 1, 1))),
+            num_res_blocks=mp.get("num_res_blocks", 2),
+            attention_resolutions=tuple(mp.get("attention_resolutions", (4, 2))),
+            transformer_depth=mp.get("transformer_depth", 1),
+        )
+    elif arch == "point_unet":
+        model = convert_point_unet(model_sd)
+    else:
+        raise ValueError(
+            f"no ingestion for model architecture {arch!r}; use the "
+            f"family-specific convert_* functions in utils/torch_ckpt.py"
+        )
+
+    cm = getattr(cfg, "condition_model", None)
+    if cm is None or not cond_sd:
+        return model
+    carch = cm.architecture
+    if carch.startswith("layout_encoder"):
+        cond = convert_layout_encoder(cond_sd)
+    elif carch == "scene_graph":
+        cond = convert_scene_graph(cond_sd)
+    elif carch == "object_gen_encoder":
+        cond = convert_object_gen_encoder(cond_sd)
+    else:
+        raise ValueError(f"no ingestion for condition model {carch!r}")
+    return {"model": model, "cond": cond}
