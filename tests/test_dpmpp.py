@@ -181,9 +181,14 @@ def test_25step_dpmpp_beats_50step_ddim_on_network_ode():
         )
         return np.abs(out - ref).mean()
 
+    e_dpm20 = err(20, "dpmpp_2m")
     e_dpm25 = err(25, "dpmpp_2m")
     e_ddim50 = err(50, "ddim")
     assert e_dpm25 < e_ddim50, (e_dpm25, e_ddim50)
+    # a 6-seed sweep of this harness (BASELINE.md round 4) puts dpmpp@20 at
+    # ~7x lower error than ddim@50 and dpmpp@15 at ~3.7x — 25 is the
+    # conservative certified product path; pin the @20 margin too
+    assert e_dpm20 < e_ddim50, (e_dpm20, e_ddim50)
 
 
 def test_conditional_engine_dpmpp():
