@@ -430,6 +430,10 @@ def main():
                 _, fps = bench_rollout(scenes=s8, mode="dpmpp_2m", num_steps=25)
                 _progress(f"rollout x{s8} DPM++(2M)@25: {fps:.2f} f/s")
                 extra[f"rollout_scenes{s8}_fps_25step_dpmpp2m"] = round(fps, 2)
+            if s8 > 1 and within_budget():
+                _, fps = bench_rollout(scenes=s8, mode="dpmpp_2m", num_steps=20)
+                _progress(f"rollout x{s8} DPM++(2M)@20: {fps:.2f} f/s")
+                extra[f"rollout_scenes{s8}_fps_20step_dpmpp2m"] = round(fps, 2)
             if within_budget():
                 extra["layout_cond_fps_50step_ddim_b1"] = round(
                     bench_layout_cond(B=1), 3
