@@ -30,15 +30,18 @@ from .transforms import rotate_points_along_z_jnp
 
 def interp_trajs(trajs: np.ndarray, M: int) -> np.ndarray:
     """Linear resampling of (K, N, 2) trajectories to (K, M, 2);
-    cf. ``pipe_related.py:229-241``."""
-    K, N, _ = trajs.shape
-    t_orig = np.linspace(0.0, 1.0, N)
-    t_new = np.linspace(0.0, 1.0, M)
-    out = np.empty((K, M, 2), trajs.dtype)
-    for k in range(K):
-        out[k, :, 0] = np.interp(t_new, t_orig, trajs[k, :, 0])
-        out[k, :, 1] = np.interp(t_new, t_orig, trajs[k, :, 1])
-    return out
+    cf. ``pipe_related.py:229-241``.
+
+    One vectorized lerp over all trajectories/axes: for each target time u
+    on the uniform grid, blend the bracketing knots —
+    ``out[u] = (1-w)·traj[lo] + w·traj[lo+1]``."""
+    _, N, _ = trajs.shape
+    if N == 1:  # constant extension, like np.interp on a single knot
+        return np.repeat(trajs, M, axis=1).astype(trajs.dtype)
+    pos = np.linspace(0.0, float(N - 1), M)
+    lo = np.minimum(pos.astype(np.int64), N - 2)
+    w = (pos - lo)[None, :, None]
+    return ((1.0 - w) * trajs[:, lo] + w * trajs[:, lo + 1]).astype(trajs.dtype)
 
 
 def expand_future_trajs(gt_fut_trajs: np.ndarray, M: int | None = None):

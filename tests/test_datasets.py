@@ -175,6 +175,23 @@ def test_expand_future_trajs():
     assert ego16.shape == (15, 2) and obj16.shape == (1, 15, 2)
 
 
+def test_interp_trajs_matches_np_interp():
+    """The vectorized lerp equals per-axis np.interp on a uniform grid
+    (the reference's ``interp_trajs_numpy``, pipe_related.py:229-241)."""
+    r = np.random.RandomState(1)
+    for K, N, M in [(3, 7, 16), (1, 2, 5), (2, 5, 3), (2, 1, 4)]:
+        t = r.randn(K, N, 2).astype(np.float32)
+        got = R.interp_trajs(t, M)
+        t_orig = np.linspace(0, 1, N)
+        t_new = np.linspace(0, 1, M)
+        want = np.stack([
+            np.stack([np.interp(t_new, t_orig, t[k, :, d]) for d in range(2)], -1)
+            for k in range(K)
+        ]).astype(np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        assert got.dtype == np.float32
+
+
 def test_temporal_dataset_with_synthetic_files(tmp_path):
     from lidarcrafter_tpu.configs import get_config
     from lidarcrafter_tpu.datasets.temporal_dataset import NuscTempDataset
