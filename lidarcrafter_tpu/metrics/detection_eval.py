@@ -92,6 +92,18 @@ def _pad_boxes(boxes: np.ndarray, bucket: int = 32) -> np.ndarray:
     return out
 
 
+def _as_boxes7(arr) -> np.ndarray:
+    """Normalize a box array to (N, 7): IoU / matching reads only the 7
+    geometry columns, so tolerate 9-dim boxes carrying velocity columns
+    (nuScenes converter format) and single flat (7,)/(9,) boxes."""
+    a = np.asarray(arr, np.float32)
+    if a.size == 0:
+        return a.reshape(0, 7)
+    if a.ndim == 1:
+        a = a.reshape(1, -1)
+    return a.reshape(len(a), -1)[:, :7]
+
+
 def box_recall_counts(
     det_boxes: np.ndarray,
     gt_boxes: np.ndarray,
@@ -99,17 +111,6 @@ def box_recall_counts(
 ) -> dict:
     """One sample's recall tallies; cf. ``pcdet_eval_utils.statistics_info``
     (:12-19) accumulating ``recall_rcnn_*`` / ``gt_num``."""
-    # IoU reads only the 7 geometry columns; tolerate 9-dim boxes carrying
-    # velocity columns (nuScenes converter format) and single flat (7,)/(9,)
-    # boxes by normalizing to (N, 7) before padding.
-    def _as_boxes7(arr):
-        a = np.asarray(arr, np.float32)
-        if a.size == 0:
-            return a.reshape(0, 7)
-        if a.ndim == 1:
-            a = a.reshape(1, -1)
-        return a.reshape(len(a), -1)[:, :7]
-
     det7, gt7 = _as_boxes7(det_boxes), _as_boxes7(gt_boxes)
     out = {f"recall_rcnn_{t}": 0 for t in thresholds}
     out["gt_num"] = int(len(gt7))
@@ -145,15 +146,18 @@ def _accumulate_class(
     for i, det in enumerate(det_annos):
         names = np.asarray(det["name"])
         sel = np.flatnonzero(names == class_name)
+        boxes = _as_boxes7(det["boxes_lidar"])
+        scores_i = np.asarray(det["score"], np.float64).reshape(-1)
         for j in sel:
-            b = det["boxes_lidar"][j]
-            preds.append((float(det["score"][j]), i, float(b[0]), float(b[1])))
+            b = boxes[j]
+            preds.append((float(scores_i[j]), i, float(b[0]), float(b[1])))
     gts = {}
     n_gt = 0
     for i, gt in enumerate(gt_annos):
         names = np.asarray(gt["name"])
         sel = np.flatnonzero(names == class_name)
-        gts[i] = [np.asarray(gt["gt_boxes"][j][:2], np.float64) for j in sel]
+        boxes = _as_boxes7(gt["gt_boxes"])
+        gts[i] = [boxes[j][:2].astype(np.float64) for j in sel]
         n_gt += len(sel)
     preds.sort(key=lambda p: -p[0])
     taken: dict[int, set] = defaultdict(set)
@@ -210,13 +214,10 @@ def evaluate_detections(
     tallies = {f"recall_rcnn_{t}": 0 for t in recall_thresholds}
     tallies["gt_num"] = 0
     for det, gt in zip(det_annos, gt_annos):
-        db = np.asarray(det["boxes_lidar"], np.float32)
-        gb = np.asarray(gt["gt_boxes"], np.float32)
-        c = box_recall_counts(
-            db.reshape(len(db), -1) if db.size else db.reshape(0, 7),
-            gb.reshape(len(gb), -1) if gb.size else gb.reshape(0, 7),
-            recall_thresholds,
-        )
+        # box_recall_counts normalizes shapes itself (flat (7,)/(9,) singles,
+        # velocity columns, empties) — pre-reshaping here would mangle a flat
+        # single box (7,) into 7 one-column rows.
+        c = box_recall_counts(det["boxes_lidar"], gt["gt_boxes"], recall_thresholds)
         for k, v in c.items():
             tallies[k] += v
 

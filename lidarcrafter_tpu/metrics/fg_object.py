@@ -236,15 +236,21 @@ def compute_rgf_folds(infos, build_fold_apply, rng, num_passes: int = 30,
 
     ``infos``: foreground info dict or flat list (filtered to
     ['car','truck','bus']); ``build_fold_apply(fold_idx) -> apply_fn`` returns
-    the (fold-trained) GLENet eval apply for that fold.  Returns the metric
-    dict from ``compute_regression_metrics_fixed_bins``."""
+    the (fold-trained) GLENet eval apply for that fold.  ``text_feat=None``
+    falls back to a zero CLIP table (same default ``tools/evaluate_our.py``
+    uses when no cache is given).  Returns the metric dict from
+    ``compute_regression_metrics_fixed_bins``."""
     import jax
 
     from ..datasets.object_uncertainty import (
+        CLASS_NAMES,
         ObjectUncertaintyDataset,
         flatten_uncertainty_infos,
         kfold_val_indices,
     )
+
+    if text_feat is None:
+        text_feat = {c: np.zeros((1, 512), np.float32) for c in CLASS_NAMES}
 
     used_infos = flatten_uncertainty_infos(infos)
     folds = kfold_val_indices(len(used_infos))

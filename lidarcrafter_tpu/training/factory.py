@@ -42,6 +42,48 @@ def _has_cond(cfg) -> bool:
     return getattr(cfg, "condition_model", None) is not None
 
 
+def layout_condition_batch(cfg, batch_size: int, rng=None) -> dict:
+    """Condition batch for the layout/autoregressive stacks at ``cfg``'s real
+    topology — THE one encoding of the shape contract the samplers, the
+    checkpoint converter's shape validation, bench, and the multichip dryrun
+    all share: ``scaled_gt_boxes (B,L,9)``, ``gt_boxes_2d (B,L,4)``,
+    ``is_valid_obj (B,L)`` ones, and — when the condition encoder declares
+    ``out_channels`` — a ``concat_cond`` map, which for autoregressive tasks
+    cedes its LAST channel to a separate ``(B,H,W,1) autoregressive_cond``
+    (cf. reference ``lidargen/models/unets/layout_unet_v1.py:620-660`` cond
+    assembly).  Zero-filled by default; pass ``rng`` for a random fill
+    (uniform·0.5 boxes, normal·0.1 maps) as the dryrun equality proofs use.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = batch_size
+    H, W = cfg.data.resolution
+    L = cfg.condition_model.params["layout_length"]
+    cc = cfg.condition_model.params.get("out_channels", 0)
+    autoreg = "autoregressive" in getattr(cfg.data, "task", "")
+
+    if rng is None:
+        boxes = lambda shape: jnp.zeros(shape, jnp.float32)
+        cond_map = boxes
+    else:
+        ks = iter(jax.random.split(rng, 4))
+        boxes = lambda shape: jax.random.uniform(next(ks), shape) * 0.5
+        cond_map = lambda shape: jax.random.normal(next(ks), shape) * 0.1
+
+    batch = {
+        "scaled_gt_boxes": boxes((B, L, 9)),
+        "gt_boxes_2d": boxes((B, L, 4)),
+        "is_valid_obj": jnp.ones((B, L), jnp.float32),
+    }
+    if cc and autoreg:
+        batch["concat_cond"] = cond_map((B, H, W, cc - 1))
+        batch["autoregressive_cond"] = cond_map((B, H, W, 1))
+    elif cc:
+        batch["concat_cond"] = cond_map((B, H, W, cc))
+    return batch
+
+
 def build_diffusion_training(cfg) -> tuple[Any, Any, LiDARUtility]:
     """Image-diffusion branches; returns (models_dict_or_model, engine, utils).
 

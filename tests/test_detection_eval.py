@@ -315,3 +315,16 @@ def test_evaluate_detection_cli_smoke(tmp_path):
     for key in ("mAP", "ap", "gt_num", "recall/rcnn_0.3", "avg_pred_objects"):
         assert key in res
     assert (out / "result_vxrcnn.pkl").exists()
+
+
+def test_evaluate_detections_flat_single_box():
+    """A flat (7,) single-box anno through the FULL driver must count as one
+    box — the pre-reshape at the call site used to mangle it into 7
+    one-column rows (round-4 review regression)."""
+    b = np.asarray(box(0, 0), np.float32)  # flat (7,)
+    det_annos = [{"boxes_lidar": b, "score": np.array([0.9]),
+                  "name": np.array(["car"])}]
+    gt_annos = [{"gt_boxes": b, "name": np.array(["car"])}]
+    res = evaluate_detections(det_annos, gt_annos, ["car"])
+    assert res["gt_num"] == 1
+    assert res["recall/rcnn_0.7"] == 1.0

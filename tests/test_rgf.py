@@ -236,3 +236,32 @@ def test_rgf_end_to_end_with_fold_trainer(tmp_path):
     assert 0.0 <= metrics["overall"]["overlap"] <= 1.0
     # 2 folds over 30 kept crops → ~6 objects contributed
     assert metrics["partitions"]
+
+
+def test_compute_rgf_folds_default_text_feat():
+    """``text_feat=None`` must fall back to a zero CLIP table instead of
+    crashing in the dataset (round-4 review regression)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidarcrafter_tpu.metrics.models.glenet import EXP20_KWARGS, GLENet
+
+    model = GLENet(**EXP20_KWARGS)
+    batch0 = {
+        "points": jnp.zeros((1, 512, 3)),
+        "text_feat": jnp.zeros((1, 512)),
+        "gt_boxes_input": jnp.zeros((1, 8)),
+        "gt_boxes": jnp.zeros((1, 7)),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch0,
+        rng=jax.random.PRNGKey(1), train=True,
+    )
+    apply_fn = jax.jit(lambda bd, rng: model.apply(variables, bd, rng=rng))
+
+    metrics = compute_rgf_folds(
+        make_infos(24, seed=9), lambda fold: apply_fn, jax.random.PRNGKey(0),
+        num_passes=2, num_folds=2, batch_size=8,  # text_feat omitted
+    )
+    assert set(metrics) == {"overall", "partitions"}
+    assert len(metrics["overall"]["variance"]) == 7

@@ -72,22 +72,13 @@ def _shape_template(cfg):
         t = jnp.zeros((1,))
         return jax.eval_shape(model.init, key, z, t, t)
     if arch in ("layout_unet", "layout_unet_v1"):
-        from lidarcrafter_tpu.training.factory import build_diffusion_training
+        from lidarcrafter_tpu.training.factory import (
+            build_diffusion_training,
+            layout_condition_batch,
+        )
 
         models, _, _ = build_diffusion_training(cfg)
-        cm = cfg.condition_model
-        L = cm.params["layout_length"]
-        cc = cm.params.get("out_channels", 0)
-        autoreg = "autoregressive" in getattr(cfg.data, "task", "")
-        batch = {
-            "scaled_gt_boxes": jnp.zeros((1, L, 9)),
-            "gt_boxes_2d": jnp.zeros((1, L, 4)),
-            "is_valid_obj": jnp.ones((1, L)),
-        }
-        if cc:
-            batch["concat_cond"] = jnp.zeros((1, H, W, cc - 1 if autoreg else cc))
-            if autoreg:
-                batch["autoregressive_cond"] = jnp.zeros((1, H, W, 1))
+        batch = layout_condition_batch(cfg, 1)
         cond_t = jax.eval_shape(models["cond"].init, key, batch)
         layout_t = jax.eval_shape(models["cond"].apply, cond_t, batch)
         cd = {

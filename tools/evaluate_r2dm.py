@@ -77,8 +77,9 @@ def _real_image(path, H, W, min_depth, max_depth):
 
 
 def _extract(images, rangenet_apply, pointnet_apply, batch_size, with_img):
-    """Feature loop over an iterable of (img (5,H,W), mask) pairs; returns
-    dict of stacked numpy features (:106-133 / :146-166)."""
+    """Feature loop over an iterable of masked (5, H, W) images (the
+    depth-window mask is already multiplied in by the loaders); returns dict
+    of stacked numpy features (:106-133 / :146-166)."""
     import jax.numpy as jnp
 
     from lidarcrafter_tpu.ops.bev import point_cloud_to_histogram
@@ -89,7 +90,7 @@ def _extract(images, rangenet_apply, pointnet_apply, batch_size, with_img):
     def flush():
         if not batch:
             return
-        imgs = np.stack([b[0] for b in batch])  # (B, 5, H, W)
+        imgs = np.stack(batch)  # (B, 5, H, W)
         n = len(imgs)
         if n < batch_size:  # pad to the jitted batch shape, slice after
             imgs = np.concatenate(
@@ -110,8 +111,8 @@ def _extract(images, rangenet_apply, pointnet_apply, batch_size, with_img):
             )
         batch.clear()
 
-    for pair in images:
-        batch.append(pair)
+    for img in images:
+        batch.append(img)
         if len(batch) == batch_size:
             flush()
     flush()
@@ -198,7 +199,7 @@ def main():
             raise SystemExit(f"no real samples in {args.real_dir}")
         real_set = _extract(
             Bar.wrap(
-                (_real_image(f, H, W, args.min_depth, args.max_depth)
+                (_real_image(f, H, W, args.min_depth, args.max_depth)[0]
                  for f in real_files),
                 desc="real", total=len(real_files),
             ),
@@ -212,7 +213,7 @@ def main():
     if not gen_files:
         raise SystemExit(f"no .pth dumps in {args.sample_dir}")
     gen_set = _extract(
-        Bar.wrap((_gen_image(f, H, W) for f in gen_files),
+        Bar.wrap((_gen_image(f, H, W)[0] for f in gen_files),
                  desc="gen", total=len(gen_files)),
         rangenet_apply, pointnet_apply, args.batch_size, with_img,
     )

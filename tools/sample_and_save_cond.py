@@ -59,6 +59,7 @@ def main():
     from lidarcrafter_tpu.training import (
         TrainState,
         build_diffusion_training,
+        layout_condition_batch,
         make_optimizer,
     )
     from lidarcrafter_tpu.training.checkpoint import restore_checkpoint
@@ -80,24 +81,11 @@ def main():
     model, cond_model = models["model"], models["cond"]
 
     H, W = cfg.data.resolution
-    L = cfg.condition_model.params["layout_length"]
-    cc = cfg.condition_model.params.get("out_channels", 0)
     ncls = len(cfg.data.class_names)
-    autoreg = cfg.data.task == "autoregressive_generation"
     B = args.batch_size
 
     def zero_batch():
-        b = {
-            "scaled_gt_boxes": jnp.zeros((B, L, 9)),
-            "gt_boxes_2d": jnp.zeros((B, L, 4)),
-            "is_valid_obj": jnp.ones((B, L)),
-        }
-        if cc and autoreg:
-            b["concat_cond"] = jnp.zeros((B, H, W, cc - 1))
-            b["autoregressive_cond"] = jnp.zeros((B, H, W, 1))
-        elif cc:
-            b["concat_cond"] = jnp.zeros((B, H, W, cc))
-        return b
+        return layout_condition_batch(cfg, B)
 
     # ------------------------------------------------------------ dataset
     if args.synthetic:
