@@ -164,7 +164,9 @@ class CondContinuousDiffusion(ContinuousDiffusion):
         raise ValueError(mode)
 
     @partial(
-        jax.jit, static_argnames=("self", "batch_size", "num_steps", "mode", "return_all")
+        jax.jit, static_argnames=(
+            "self", "batch_size", "num_steps", "mode", "return_all", "dpmpp_spacing"
+        )
     )
     def sample(
         self,
@@ -176,6 +178,7 @@ class CondContinuousDiffusion(ContinuousDiffusion):
         mode: Literal["ddpm", "ddim", "dpmpp_2m"] = "ddpm",
         ddim_eta: float = 0.0,
         return_all: bool = False,
+        dpmpp_spacing: Literal["t", "lambda"] = "lambda",
     ) -> jnp.ndarray:
         """Conditioned sampling as one ``lax.scan``; cf.
         ``continuous_time_cond.py:255-281``."""
@@ -187,7 +190,10 @@ class CondContinuousDiffusion(ContinuousDiffusion):
         steps = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
 
         if mode == "dpmpp_2m":
-            from .continuous import dpmpp_2m_scan
+            from .continuous import dpmpp_2m_scan, lambda_spaced_timesteps
+
+            if dpmpp_spacing == "lambda":
+                steps = lambda_spaced_timesteps(self.log_snr, num_steps)
 
             def x0_fn(x, i):
                 t = jnp.full((batch_size,), steps[i])
