@@ -227,7 +227,8 @@ class TemporalRollout:
         rng: jax.Array,
         num_frames: int = 15,
         interp_M: int | None = 16,
-    ) -> list[np.ndarray]:
+        fetch: bool = True,
+    ) -> list:
         """Full sequence, BATCHED over scenes;
         cf. ``sample_and_save_temporal.py:203-335``.
 
@@ -236,7 +237,14 @@ class TemporalRollout:
         (K,) float class values.  A leading scene dim S batches all three (the
         values of ``first_frame_batch`` must then carry the same S); single-
         scene inputs are auto-promoted to S=1.  Returns the list of generated
-        frame arrays (S, H, W, C), host-side.
+        frame arrays (S, H, W, C) — host-side numpy when ``fetch`` (default),
+        device-resident jax arrays when ``fetch=False``.
+
+        ``fetch=False`` is the serving path: sampling is dispatched async, so
+        a caller can launch the NEXT rollout before materialising this one's
+        frames and the device→host transfer (~1.1 s for 16×8 frames through
+        the bench tunnel at ~30 MB/s, measured round 5) overlaps the next
+        rollout's compute instead of serialising after it.
         """
         gt_fut_trajs = np.asarray(gt_fut_trajs, np.float32)
         boxes0 = np.asarray(boxes0, np.float32)
@@ -246,19 +254,20 @@ class TemporalRollout:
             box_names_classes = box_names_classes[None]
         S, K = boxes0.shape[0], boxes0.shape[1]
 
-        # --- host precompute (tiny): trajectories, future boxes, transforms
-        fut_boxes, Ts = [], []
+        # --- host precompute (tiny): trajectories (numpy), inter-frame
+        # transforms (numpy), future boxes (ONE vmapped device call — the
+        # former per-scene loop paid a tunnel round-trip per scene)
+        egos, objs, Ts = [], [], []
         for s in range(S):
             ego_traj, obj_traj = R.expand_future_trajs(gt_fut_trajs[s], M=interp_M)
-            fut_boxes.append(np.asarray(
-                R.warp_boxes_future(
-                    jnp.asarray(boxes0[s]),
-                    jnp.asarray(obj_traj, jnp.float32),
-                    jnp.asarray(ego_traj, jnp.float32),
-                )
-            ))  # (K, T, 7)
+            egos.append(ego_traj)
+            objs.append(obj_traj)
             Ts.append(R.compute_inter_frame_transforms(ego_traj))  # (T, 4, 4)
-        fut_boxes = np.stack(fut_boxes)  # (S, K, T, 7)
+        fut_boxes = jax.vmap(R.warp_boxes_future)(
+            jnp.asarray(boxes0),
+            jnp.asarray(np.stack(objs), jnp.float32),
+            jnp.asarray(np.stack(egos), jnp.float32),
+        )  # (S, K, T, 7), device-resident
         Ts = np.stack(Ts)  # (S, T, 4, 4)
         Tsteps = min(num_frames, fut_boxes.shape[2])
         box_mask = jnp.ones((S, K), bool)
@@ -279,8 +288,8 @@ class TemporalRollout:
 
         # frame-t sequences: boxes in the current frame (frame 0 uses boxes0),
         # boxes in the next frame, and the inter-frame ego transform
-        boxes_seq = np.concatenate(
-            [boxes0[:, None], np.moveaxis(fut_boxes, 2, 1)[:, : Tsteps - 1]],
+        boxes_seq = jnp.concatenate(
+            [jnp.asarray(boxes0)[:, None], jnp.moveaxis(fut_boxes, 2, 1)[:, : Tsteps - 1]],
             axis=1,
         )  # (S, T, K, 7)
         frames = _rollout_frames(
@@ -289,8 +298,8 @@ class TemporalRollout:
             self.lidar_utils,
             first_frame_batch,
             frame0,
-            jnp.asarray(np.swapaxes(boxes_seq, 0, 1)),
-            jnp.asarray(np.moveaxis(fut_boxes[:, :, :Tsteps], 2, 0)),
+            jnp.swapaxes(boxes_seq, 0, 1),
+            jnp.moveaxis(fut_boxes[:, :, :Tsteps], 2, 0),
             jnp.asarray(np.swapaxes(Ts[:, :Tsteps], 0, 1)),
             classes_col,
             box_mask,
@@ -300,4 +309,6 @@ class TemporalRollout:
             num_steps=self.num_sampling_steps,
             mode=self.sampling_mode,
         )
+        if not fetch:
+            return [frame0] + list(frames)
         return [np.asarray(frame0)] + [np.asarray(f) for f in frames]
