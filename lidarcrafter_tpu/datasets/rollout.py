@@ -190,14 +190,15 @@ def split_foreground_background(
     bg_mask = point_mask & (jnp.sum(member, axis=0) == 0)
 
     def gather(member_k, box):
-        # first max_points_per_obj member points, in point order
-        s = jnp.cumsum(member_k) - 1
-        take_k = member_k & (s < max_points_per_obj)
-        pos = jnp.where(take_k, s, max_points_per_obj)
-        buf = jnp.zeros((max_points_per_obj, 4), points.dtype)
-        buf = buf.at[pos].set(points, mode="drop")
-        msk = jnp.zeros((max_points_per_obj,), bool)
-        msk = msk.at[pos].set(take_k, mode="drop")
+        # first max_points_per_obj member points, in point order: an
+        # ascending argsort of (idx if member else N) puts member indices
+        # first, so a slice + gather replaces the former N-update scatter
+        # into a P-slot buffer (arbitrary scatters are the slow op on TPU;
+        # cf. the same rewrite in ops/projection.py winner selection)
+        idx = jnp.arange(N, dtype=jnp.int32)
+        src = jnp.argsort(jnp.where(member_k, idx, N))[:max_points_per_obj]
+        msk = member_k[src]
+        buf = jnp.where(msk[:, None], points[src], 0.0)
         # align: center at box, de-rotate by yaw
         centered = buf.at[:, :3].add(-box[:3])
         aligned = rotate_points_along_z_jnp(centered[None], -box[6][None])[0]
