@@ -149,7 +149,12 @@ def chip_microbench(lo=4, hi=64):
         _fetch([out])
         return time.perf_counter() - t0
 
-    slope = (time_mm(hi) - time_mm(lo)) / (hi - lo)
+    # best-of-3 slopes: a roof is the best achievable rate, and tunnel
+    # dispatch hiccups only ever ADD time (a single-shot slope read
+    # 178 GB/s in one round-5 session vs ~645 steady-state)
+    slope = min(
+        (time_mm(hi) - time_mm(lo)) / (hi - lo) for _ in range(3)
+    )
     matmul_tf = 2 * n**3 / slope / 1e12
 
     x = jr.normal(jr.PRNGKey(2), (1024 * 1024 * 1024 // 4,), jnp.float32)  # 1 GB
@@ -164,7 +169,9 @@ def chip_microbench(lo=4, hi=64):
         _fetch([out[None, None]])
         return time.perf_counter() - t0
 
-    slope = (time_stream(hi) - time_stream(lo)) / (hi - lo)
+    slope = min(
+        (time_stream(hi) - time_stream(lo)) / (hi - lo) for _ in range(3)
+    )
     hbm_gbps = 2 * x.nbytes / slope / 1e9  # read + write per pass
     return {
         "matmul_tf_bf16": round(matmul_tf, 1),
@@ -319,6 +326,167 @@ def bench_layout_cond(name="nuscenes-auto-reg-v2", B=None, with_cost=False,
     return rate
 
 
+def bench_layout_cond_split_ab(B=8, halves=2, num_steps=None, mode="ddim"):
+    """Counter-experiment for the 'structural DMA/compute overlap' claim
+    (VERDICT r4 task 5): run the SAME 50-step conditional sampler with the
+    denoiser call split into ``halves`` independent sub-batches inside every
+    step.  Two independent half-batch UNet graphs give XLA's scheduler
+    maximal freedom to overlap one half's DMA with the other half's compute
+    across fusion boundaries.  If the 26% gap to the perfect-overlap ceiling
+    were recoverable by scheduling, this variant would run faster than the
+    monolithic B=8 program; if it measures the same or slower, the gap is
+    structural to the fusion shapes, as BASELINE.md claims.
+    """
+    _, engine, params, batch, B, _ = _build_cond_stack("nuscenes-auto-reg-v2", B=B)
+    num_steps = NUM_STEPS if num_steps is None else num_steps
+    h = B // halves
+    base_apply = engine.apply_fn
+
+    def split_apply(p, x, c):
+        outs = []
+        for i in range(halves):
+            ci = jax.tree_util.tree_map(
+                lambda a: a[i * h:(i + 1) * h]
+                if hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] == B
+                else a,
+                c,
+            )
+            outs.append(base_apply(p, x[i * h:(i + 1) * h], ci))
+        return jnp.concatenate(outs, axis=0)
+
+    eng = dataclasses.replace(engine, apply_fn=split_apply)
+
+    def sample(rng):
+        return eng.sample(
+            params, rng, batch, batch_size=B, num_steps=num_steps, mode=mode
+        )
+
+    return _median_rate(sample, jax.random.PRNGKey(3), B, reps=2, rounds=2)
+
+
+def _cert_synthetic_x0(key, B, H, W):
+    """Structured, learnable range-image distribution for the cert's brief
+    training phase: banded sinusoidal depth + correlated reflectance."""
+    import jax.random as jr
+
+    k1, k2, k3 = jr.split(key, 3)
+    phase = jr.uniform(k1, (B, 1, 1)) * 2 * jnp.pi
+    freq = 1.0 + jr.randint(k2, (B, 1, 1), 0, 4).astype(jnp.float32)
+    cols = jnp.arange(W)[None, None, :] / W
+    rows = jnp.arange(H)[None, :, None] / H
+    depth = 0.6 * jnp.sin(2 * jnp.pi * freq * cols + phase) * (1 - 0.5 * rows)
+    refl = jnp.clip(0.5 * depth + 0.1 * jr.normal(k3, (B, H, W)), -1, 1)
+    return jnp.stack([depth, refl], axis=-1)
+
+
+def bench_solver_cert(num_ref_steps=1024, B=2,
+                      train_steps=int(os.environ.get("BENCH_CERT_TRAIN", "400"))):
+    """Solver-accuracy certification ON THE PRODUCTION STACK (VERDICT r4
+    task 2): the ``nuscenes-auto-reg-v2`` topology at the full 32×1024
+    resolution, real layout conditioning, eps-pred + clipped x̂_0 — the
+    flagship sampler's exact configuration.  Measures the
+    probability-flow-ODE solver error of DDIM@50 / DPM++(2M)@25 /
+    DPM++(2M)@20 against a ``num_ref_steps``-step DDIM fine-grid solution of
+    the SAME conditioned ODE, in f32 (bf16 rounding would pollute the
+    solver-error signal).
+
+    ``train_steps`` > 0 first trains the stack briefly on a synthetic
+    structured distribution (~1 min on-chip): a RANDOM-weight production
+    net is a measurably stiffer ODE than a trained one (its x̂_0 has
+    arbitrary fine-scale t-dependence that defeats the 2M extrapolation —
+    measured ratio_ddim50_over_dpmpp25 = 0.58 at init on the uniform-t
+    grid), while the deployment ODE is a trained, smooth field.  The bench
+    records the trained-ODE figures as the deployment-relevant ones.
+
+    Round-5 finding this cert produced: on the TRAINED production ODE the
+    uniform-t grid's dpmpp@25 is 1.66x WORSE than ddim@50 (3.97e-2 vs
+    2.40e-2) — the round-4 TinyUNet-only certification did not transfer —
+    while the uniform-λ grid (now the engine default) measures 7.3e-3 @25
+    and 1.22e-2 @20, i.e. 3.3x / 2.0x BELOW ddim@50.  The t-grid number is
+    retained in the output as counter-evidence.
+
+    The TinyUNet harness (tests/test_dpmpp.py:141) certifies the solver on
+    *a* network ODE; this reports the error ratios on the production ODE —
+    the stiffness the @25/@20 product paths actually face.  Cf. the
+    reference's own step-count conservatism
+    (``sample_and_save_temporal.py:359``: 256 DDPM steps for eval).
+    """
+    from lidarcrafter_tpu.configs import get_config
+    from lidarcrafter_tpu.training import (
+        TrainState,
+        build_diffusion_training,
+        layout_condition_batch,
+        make_optimizer,
+        make_train_step,
+    )
+    from __graft_entry__ import _host_init
+
+    cfg = get_config("nuscenes-auto-reg-v2")
+    models, engine, _ = build_diffusion_training(cfg)
+    model, cond_model = models["model"], models["cond"]
+    H, W = cfg.data.resolution
+
+    batch = layout_condition_batch(cfg, B, rng=jax.random.PRNGKey(21))
+    cond_params = _host_init(cond_model.init, batch, seed=1)
+    layout = jax.eval_shape(cond_model.apply, cond_params, batch)
+    cd = {
+        "time_condition": jnp.zeros((B,)),
+        "other_condition": jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), layout
+        ),
+    }
+    model_params = _host_init(
+        model.init, jnp.zeros((B, H, W, 2)), cd, seed=2
+    )
+    params = {"model": model_params, "cond": cond_params}
+
+    if train_steps > 0:
+        _progress(f"solver cert: training production stack {train_steps} steps")
+        tx = make_optimizer(lr=1e-4, warmup_steps=20, num_steps=train_steps)
+        state = TrainState.create(params, tx)
+        step_fn = make_train_step(engine, tx, donate=False)
+        key = jax.random.PRNGKey(31)
+        input_dict = dict(batch)
+        for i in range(train_steps):
+            key, kb, ks = jax.random.split(key, 3)
+            input_dict["x_0"] = _cert_synthetic_x0(kb, B, H, W)
+            state, loss = step_fn(state, input_dict, ks)
+        _progress(f"solver cert: trained, final loss {float(loss):.4f}")
+        params = state.params
+
+    rng = jax.random.PRNGKey(23)
+
+    def solve(n, mode, **kw):
+        out = engine.sample(
+            params, rng, batch, batch_size=B, num_steps=n, mode=mode, **kw
+        )
+        return np.asarray(out)
+
+    _progress(f"solver cert: fine grid ddim@{num_ref_steps} (production stack, f32)")
+    ref = solve(num_ref_steps, "ddim")
+    errs = {}
+    for label, n, mode, kw in (
+        ("ddim50", 50, "ddim", {}),
+        # product path: DPM++(2M) on the default uniform-λ grid
+        ("dpmpp25", 25, "dpmpp_2m", {}),
+        ("dpmpp20", 20, "dpmpp_2m", {}),
+        # the uniform-t grid is KEPT IN THE RECORD as the counter-evidence:
+        # on this trained production ODE it is WORSE than ddim@50 (the
+        # round-4 TinyUNet-only certification did not transfer; the λ grid
+        # is what restores the product-path margin — see
+        # diffusion/continuous.py::lambda_spaced_timesteps)
+        ("dpmpp25_tgrid", 25, "dpmpp_2m", {"dpmpp_spacing": "t"}),
+    ):
+        errs[label] = float(np.abs(solve(n, mode, **kw) - ref).mean())
+        _progress(f"solver cert: {label} err={errs[label]:.3e}")
+    out = {f"err_{k}": round(v, 6) for k, v in errs.items()}
+    out["ratio_ddim50_over_dpmpp25"] = round(errs["ddim50"] / errs["dpmpp25"], 2)
+    out["ratio_ddim50_over_dpmpp20"] = round(errs["ddim50"] / errs["dpmpp20"], 2)
+    out["ref_steps"] = num_ref_steps
+    out["train_steps"] = train_steps
+    return out
+
+
 def bench_rollout(frames=int(os.environ.get("BENCH_FRAMES", "15")), scenes=1,
                   mode="ddim", num_steps=None):
     """Full 1+15-frame autoregressive rollout, on-device pipeline
@@ -365,7 +533,30 @@ def bench_rollout(frames=int(os.environ.get("BENCH_FRAMES", "15")), scenes=1,
     out = pipeline.rollout(sb, trajs, boxes0, classes, rng, num_frames=frames)
     dt = time.perf_counter() - t0
     assert len(out) == frames + 1
-    return dt, (frames + 1) * S / dt
+    fps_single = (frames + 1) * S / dt
+
+    # steady-state serving throughput: dispatch rollout k+1 BEFORE fetching
+    # rollout k's frames, so the ~1.1 s device→host transfer of 16×S frames
+    # (tunnel measures ~30 MB/s, round 5) overlaps the next rollout's compute
+    # instead of serialising after it — standard double-buffering, the rate a
+    # deployment actually sustains.  Single-call wall (incl. the fetch) stays
+    # the reported latency number.
+    iters = int(os.environ.get("BENCH_ROLLOUT_ITERS", "3"))
+    t0 = time.perf_counter()
+    prev = pipeline.rollout(
+        sb, trajs, boxes0, classes, rng, num_frames=frames, fetch=False
+    )
+    for _ in range(iters - 1):
+        cur = pipeline.rollout(
+            sb, trajs, boxes0, classes, rng, num_frames=frames, fetch=False
+        )
+        for f in prev:
+            np.asarray(f)
+        prev = cur
+    for f in prev:
+        np.asarray(f)
+    dt_pipe = (time.perf_counter() - t0) / iters
+    return dt, (frames + 1) * S / dt_pipe, fps_single
 
 
 def main():
@@ -421,31 +612,38 @@ def main():
             s8 = int(os.environ.get("BENCH_ROLLOUT_SCENES", "8"))
             if s8 > 1 and within_budget():
                 _progress(f"rollout x{s8} scenes: building + compiling")
-                _, fps = bench_rollout(scenes=s8)
-                _progress(f"rollout x{s8}: {fps:.2f} f/s")
+                _, fps, fps1 = bench_rollout(scenes=s8)
+                _progress(f"rollout x{s8}: {fps:.2f} f/s ({fps1:.2f} single-call)")
                 extra[f"rollout_scenes{s8}_frames_per_sec"] = round(fps, 2)
+                extra[f"rollout_scenes{s8}_fps_singlecall"] = round(fps1, 2)
             if s8 > 1 and within_budget():
                 # product-path rollout: DPM++(2M) @ 25 steps (same certified
                 # solver as the layout-cond fast path above)
                 _progress(f"rollout x{s8} DPM++(2M)@25: building + compiling")
-                _, fps = bench_rollout(scenes=s8, mode="dpmpp_2m", num_steps=25)
-                _progress(f"rollout x{s8} DPM++(2M)@25: {fps:.2f} f/s")
+                _, fps, fps1 = bench_rollout(scenes=s8, mode="dpmpp_2m", num_steps=25)
+                _progress(
+                    f"rollout x{s8} DPM++(2M)@25: {fps:.2f} f/s ({fps1:.2f} single-call)"
+                )
                 extra[f"rollout_scenes{s8}_fps_25step_dpmpp2m"] = round(fps, 2)
+                extra[f"rollout_scenes{s8}_fps_25step_singlecall"] = round(fps1, 2)
             if s8 > 1 and within_budget():
-                _, fps = bench_rollout(scenes=s8, mode="dpmpp_2m", num_steps=20)
-                _progress(f"rollout x{s8} DPM++(2M)@20: {fps:.2f} f/s")
+                _, fps, fps1 = bench_rollout(scenes=s8, mode="dpmpp_2m", num_steps=20)
+                _progress(
+                    f"rollout x{s8} DPM++(2M)@20: {fps:.2f} f/s ({fps1:.2f} single-call)"
+                )
                 extra[f"rollout_scenes{s8}_fps_20step_dpmpp2m"] = round(fps, 2)
+                extra[f"rollout_scenes{s8}_fps_20step_singlecall"] = round(fps1, 2)
             if within_budget():
                 extra["layout_cond_fps_50step_ddim_b1"] = round(
                     bench_layout_cond(B=1), 3
                 )
                 _progress("layout-cond B=1 done")
             if within_budget():
-                wall, _ = bench_rollout(scenes=1)
+                wall, _, _ = bench_rollout(scenes=1)
                 _progress(f"single-scene rollout: {wall:.1f} s")
                 extra["rollout_16frame_wall_s_50step_ddim"] = round(wall, 2)
             if within_budget():
-                wall, _ = bench_rollout(scenes=1, mode="dpmpp_2m", num_steps=25)
+                wall, _, _ = bench_rollout(scenes=1, mode="dpmpp_2m", num_steps=25)
                 _progress(f"single-scene rollout DPM++(2M)@25: {wall:.1f} s")
                 extra["rollout_16frame_wall_s_25step_dpmpp2m"] = round(wall, 2)
             if within_budget():
@@ -453,6 +651,9 @@ def main():
                 _progress(f"train step: {steps_s:.2f} steps/s")
                 extra["train_steps_per_sec_b8_bf16amp"] = round(steps_s, 3)
                 extra["train_frames_per_sec"] = round(frames_s, 2)
+            if within_budget() and os.environ.get("BENCH_SOLVER_CERT", "1") != "0":
+                # production-topology DPM++ certification (VERDICT r4 task 2)
+                extra["solver_cert_production_stack"] = bench_solver_cert()
         except Exception as e:  # sub-benches must never sink the headline
             extra["error"] = f"{type(e).__name__}: {e}"
 
