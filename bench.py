@@ -470,6 +470,7 @@ def bench_solver_cert(num_ref_steps=1024, B=2,
         # product path: DPM++(2M) on the default uniform-λ grid
         ("dpmpp25", 25, "dpmpp_2m", {}),
         ("dpmpp20", 20, "dpmpp_2m", {}),
+        ("dpmpp15", 15, "dpmpp_2m", {}),
         # the uniform-t grid is KEPT IN THE RECORD as the counter-evidence:
         # on this trained production ODE it is WORSE than ddim@50 (the
         # round-4 TinyUNet-only certification did not transfer; the λ grid
@@ -609,6 +610,12 @@ def main():
                 rate20 = bench_layout_cond(B=8, mode="dpmpp_2m", num_steps=20)
                 _progress(f"layout-cond DPM++(2M) 20-step: {rate20:.2f} f/s")
                 extra["layout_cond_fps_20step_dpmpp2m_b8"] = round(rate20, 3)
+            if within_budget():
+                # parity path: λ-grid DPM++@15 measures 0.98x DDIM@50's
+                # solver error on the trained production cert (round 5)
+                rate15 = bench_layout_cond(B=8, mode="dpmpp_2m", num_steps=15)
+                _progress(f"layout-cond DPM++(2M) 15-step: {rate15:.2f} f/s")
+                extra["layout_cond_fps_15step_dpmpp2m_b8"] = round(rate15, 3)
             s8 = int(os.environ.get("BENCH_ROLLOUT_SCENES", "8"))
             if s8 > 1 and within_budget():
                 _progress(f"rollout x{s8} scenes: building + compiling")
@@ -633,6 +640,13 @@ def main():
                 )
                 extra[f"rollout_scenes{s8}_fps_20step_dpmpp2m"] = round(fps, 2)
                 extra[f"rollout_scenes{s8}_fps_20step_singlecall"] = round(fps1, 2)
+            if s8 > 1 and within_budget():
+                _, fps, fps1 = bench_rollout(scenes=s8, mode="dpmpp_2m", num_steps=15)
+                _progress(
+                    f"rollout x{s8} DPM++(2M)@15: {fps:.2f} f/s ({fps1:.2f} single-call)"
+                )
+                extra[f"rollout_scenes{s8}_fps_15step_dpmpp2m"] = round(fps, 2)
+                extra[f"rollout_scenes{s8}_fps_15step_singlecall"] = round(fps1, 2)
             if within_budget():
                 extra["layout_cond_fps_50step_ddim_b1"] = round(
                     bench_layout_cond(B=1), 3
