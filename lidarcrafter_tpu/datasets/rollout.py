@@ -196,9 +196,14 @@ def split_foreground_background(
         # into a P-slot buffer (arbitrary scatters are the slow op on TPU;
         # cf. the same rewrite in ops/projection.py winner selection)
         idx = jnp.arange(N, dtype=jnp.int32)
-        src = jnp.argsort(jnp.where(member_k, idx, N))[:max_points_per_obj]
+        take = min(max_points_per_obj, N)
+        src = jnp.argsort(jnp.where(member_k, idx, N))[:take]
         msk = member_k[src]
         buf = jnp.where(msk[:, None], points[src], 0.0)
+        if take < max_points_per_obj:  # N < P: keep the (P, 4) contract
+            pad = max_points_per_obj - take
+            buf = jnp.pad(buf, ((0, pad), (0, 0)))
+            msk = jnp.pad(msk, (0, pad))
         # align: center at box, de-rotate by yaw
         centered = buf.at[:, :3].add(-box[:3])
         aligned = rotate_points_along_z_jnp(centered[None], -box[6][None])[0]

@@ -91,7 +91,10 @@ def points_to_range_image(
     idx = jnp.arange(N, dtype=jnp.int32)
     pix_s, _, idx_s = jax.lax.sort((pixel, depth, idx), num_keys=2, is_stable=True)
     run_start = jnp.concatenate([jnp.array([True]), pix_s[1:] != pix_s[:-1]])
-    scatter_ix = jnp.where(run_start & (pix_s < H * W), pix_s, H * W)
+    # non-winners get DISTINCT out-of-bounds slots (H*W + position) so the
+    # unique_indices promise is genuinely true — not merely true after the
+    # drop — keeping the scatter's fast path well-defined
+    scatter_ix = jnp.where(run_start & (pix_s < H * W), pix_s, H * W + idx)
     winner_idx = (
         jnp.full((H * W,), N, jnp.int32)
         .at[scatter_ix]

@@ -68,9 +68,14 @@ def check_bench(tol: float) -> int:
 
     print(f"selfcheck: running bench.py (reference: {os.path.basename(ref_path)})")
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "bench.py"], cwd=REPO, capture_output=True, text=True
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "bench.py"], cwd=REPO, capture_output=True, text=True,
+            timeout=int(os.environ.get("SELFCHECK_BENCH_TIMEOUT", "3600")),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"selfcheck: bench TIMED OUT after {time.time()-t0:.0f}s")
+        return 1
     print(f"selfcheck: bench finished rc={proc.returncode} ({time.time()-t0:.0f}s)")
     if proc.returncode != 0:
         print(proc.stderr[-3000:])
@@ -122,27 +127,34 @@ def check_dryrun() -> int:
     print("selfcheck: running dryrun_multichip(8) with a FRESH compile cache "
           "(simulates the driver's rejected-cache cold start)")
     env = dict(os.environ)
+    t0 = time.time()
     with tempfile.TemporaryDirectory() as tmp:
         env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(tmp, "jax_cache")
         env.pop("_LCT_DRYRUN_CHILD", None)
-        t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-            cwd=REPO, env=env, capture_output=True, text=True,
-            timeout=int(os.environ.get("SELFCHECK_DRYRUN_TIMEOUT", "1800")),
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+                cwd=REPO, env=env, capture_output=True, text=True,
+                timeout=int(os.environ.get("SELFCHECK_DRYRUN_TIMEOUT", "1800")),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"selfcheck: dryrun TIMED OUT after {time.time()-t0:.0f}s")
+            return 1
     wall = time.time() - t0
-    oks = proc.stdout.count(" OK")
+    # count PROOF completions, not " OK" substrings: progress lines like
+    # "dryrun_flagship: train step OK" must not inflate the count
+    proofs_ok = len(re.findall(r"^dryrun_\w+\(.*\bOK\b", proc.stdout, re.M))
     skips = proc.stdout.count("SKIP")
     print(proc.stdout.strip())
-    print(f"selfcheck: dryrun rc={proc.returncode}, {oks} OK / {skips} SKIP "
-          f"({wall:.0f}s)")
+    print(f"selfcheck: dryrun rc={proc.returncode}, {proofs_ok} proofs OK / "
+          f"{skips} SKIP ({wall:.0f}s)")
     if proc.returncode != 0:
         print(proc.stderr[-3000:])
         return 1
-    if oks < 3:
-        print("selfcheck: fewer than 3 proofs passed — investigate the SKIPs")
+    if proofs_ok < 3 or skips > 0:
+        print("selfcheck: not all proofs completed — a SKIPped or missing "
+              "proof leaves the multichip record incomplete")
         return 1
     return 0
 

@@ -25,21 +25,15 @@ from lidarcrafter_tpu.metrics.distribution import (
 )
 from lidarcrafter_tpu.models.efficient_unet import EfficientUNet
 from lidarcrafter_tpu.training import TrainState, make_optimizer, make_train_step
+from lidarcrafter_tpu.utils.synthetic import banded_range_image_batch
 
 H, W = 16, 32
 
 
 def _synthetic_batch(key, batch):
-    """Structured, learnable range-image distribution: banded sinusoidal
-    depth with per-sample random phase/frequency + correlated reflectance."""
-    k1, k2, k3 = jax.random.split(key, 3)
-    phase = jax.random.uniform(k1, (batch, 1, 1)) * 2 * jnp.pi
-    freq = 1.0 + jax.random.randint(k2, (batch, 1, 1), 0, 3).astype(jnp.float32)
-    cols = jnp.arange(W)[None, None, :] / W
-    rows = jnp.arange(H)[None, :, None] / H
-    depth = 0.6 * jnp.sin(2 * jnp.pi * freq * cols + phase) * (1 - 0.5 * rows)
-    refl = 0.5 * depth + 0.1 * jax.random.normal(k3, (batch, H, W))
-    return jnp.stack([depth, jnp.clip(refl, -1, 1)], axis=-1)
+    """The SAME structured distribution bench_solver_cert trains on
+    (``lidarcrafter_tpu/utils/synthetic.py``)."""
+    return banded_range_image_batch(key, batch, H, W)
 
 
 def _feats(x, proj):
