@@ -522,13 +522,26 @@ def bench_rollout(frames=int(os.environ.get("BENCH_FRAMES", "15")), scenes=1,
     classes = np.tile(np.arange(1, K + 1, dtype=np.float32), (S, 1))
 
     rng = jax.random.PRNGKey(4)
+    # streaming delivery for the batched path: chunk the scan so most of the
+    # frame transfer overlaps compute even within one blocking call (the
+    # single-scene latency metric keeps one program — its fetch is ~0.14 s)
+    chunks = 2 if S > 1 else 1
     # warmup with the SAME frame count: the scan trip count is baked into the
     # executable, so a 1-frame warmup would leave the timed run paying the
     # T-frame compile (or cache deserialize) through the TPU tunnel
-    pipeline.rollout(sb, trajs, boxes0, classes, rng, num_frames=frames)
-    t0 = time.perf_counter()
-    out = pipeline.rollout(sb, trajs, boxes0, classes, rng, num_frames=frames)
-    dt = time.perf_counter() - t0
+    pipeline.rollout(
+        sb, trajs, boxes0, classes, rng, num_frames=frames, stream_chunks=chunks
+    )
+    # median of 3: a single blocking rollout is one unrepeated sample and the
+    # shared tunnel chip's session noise is ±10%
+    walls = []
+    for _ in range(3 if S > 1 else 1):
+        t0 = time.perf_counter()
+        out = pipeline.rollout(
+            sb, trajs, boxes0, classes, rng, num_frames=frames, stream_chunks=chunks
+        )
+        walls.append(time.perf_counter() - t0)
+    dt = float(np.median(walls))
     assert len(out) == frames + 1
     fps_single = (frames + 1) * S / dt
 
@@ -541,11 +554,13 @@ def bench_rollout(frames=int(os.environ.get("BENCH_FRAMES", "15")), scenes=1,
     iters = int(os.environ.get("BENCH_ROLLOUT_ITERS", "3"))
     t0 = time.perf_counter()
     prev = pipeline.rollout(
-        sb, trajs, boxes0, classes, rng, num_frames=frames, fetch=False
+        sb, trajs, boxes0, classes, rng, num_frames=frames, fetch=False,
+        stream_chunks=chunks,  # same programs as the warmup
     )
     for _ in range(iters - 1):
         cur = pipeline.rollout(
-            sb, trajs, boxes0, classes, rng, num_frames=frames, fetch=False
+            sb, trajs, boxes0, classes, rng, num_frames=frames, fetch=False,
+            stream_chunks=chunks,
         )
         for f in prev:
             np.asarray(f)

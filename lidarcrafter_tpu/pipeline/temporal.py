@@ -46,7 +46,8 @@ def _rollout_frames(
     params,
     lidar_utils: LiDARUtility,
     layout_const: dict,
-    frame0: jnp.ndarray,
+    carry_pts: jnp.ndarray,       # (S, N, 4) point cloud of the previous frame
+    carry_mask: jnp.ndarray,      # (S, N) its validity mask
     boxes_seq: jnp.ndarray,       # (T, S, K, 7) boxes in the *current* frame
     next_boxes_seq: jnp.ndarray,  # (T, S, K, 7) boxes in the *next* frame
     Ts_seq: jnp.ndarray,          # (T, S, 4, 4) inter-frame transforms
@@ -58,18 +59,22 @@ def _rollout_frames(
     max_points_per_obj: int,
     num_steps: int,
     mode: str,
-) -> jnp.ndarray:
-    """The 15-step autoregressive continuation as ONE ``lax.scan`` whose body
-    fuses warp → refine → replay → project → conditioning → the 50-step
-    sampling scan.  The reference dispatches each stage (and every denoise
-    step) from the host per frame (``sample_and_save_temporal.py:236-321``);
-    here the entire rollout is a single XLA program, so no host round-trip —
-    or dispatch through the TPU tunnel — happens between frames.
+):
+    """The autoregressive continuation as ONE ``lax.scan`` whose body fuses
+    warp → refine → replay → project → conditioning → the sampling scan.
+    The reference dispatches each stage (and every denoise step) from the
+    host per frame (``sample_and_save_temporal.py:236-321``); here the whole
+    chunk is a single XLA program, so no host round-trip — or dispatch
+    through the TPU tunnel — happens between frames.
 
-    Returns the generated frames (T, S, H, W, C).
+    The carry enters/leaves as an explicit point cloud so the rollout can be
+    split into chunks for streaming delivery (``TemporalRollout.rollout``'s
+    ``stream_chunks``).
+
+    Returns ``(frames (T, S, H, W, C), final_pts, final_mask)``.
     """
     H, W = lidar_utils.resolution
-    S = frame0.shape[0]
+    S = carry_pts.shape[0]
 
     v_split = jax.vmap(
         partial(R.split_foreground_background, max_points_per_obj=max_points_per_obj)
@@ -133,11 +138,31 @@ def _rollout_frames(
         )
         return image_to_points(sample), sample
 
-    init = image_to_points(frame0)
-    _, frames = jax.lax.scan(
-        body, init, (boxes_seq, next_boxes_seq, Ts_seq, keys)
+    (pts_f, mask_f), frames = jax.lax.scan(
+        body, (carry_pts, carry_mask), (boxes_seq, next_boxes_seq, Ts_seq, keys)
     )
-    return frames
+    return frames, pts_f, mask_f
+
+
+@jax.jit
+def _image_points_carry(sample: jnp.ndarray, lidar_utils: LiDARUtility):
+    """Generated images (S, H, W, C) → padded (S, N, 4) clouds + masks —
+    jitted so the chunk-carry init is ONE device program, not a chain of
+    eager dispatches through the TPU tunnel."""
+    post = postprocess_sample(sample, lidar_utils)
+    S = sample.shape[0]
+    xyz = post["xyz"].reshape(S, -1, 3)
+    refl = post.get("reflectance")
+    inten = (
+        (refl.reshape(S, -1, 1) * 255.0)
+        if refl is not None
+        else jnp.zeros((S, xyz.shape[1], 1))
+    )
+    pts = jnp.concatenate([xyz, inten], axis=2)
+    mask = jnp.linalg.norm(xyz, axis=2) > 1e-2
+    # drop ego-radius points (cf. pipe_related.remove_ego_points)
+    mask &= ~((jnp.abs(pts[..., 0]) < 2.0) & (jnp.abs(pts[..., 1]) < 2.0))
+    return pts, mask
 
 
 @dataclasses.dataclass
@@ -201,20 +226,7 @@ class TemporalRollout:
 
     def image_to_points(self, sample: jnp.ndarray):
         """Generated images (S, H, W, C) → padded (S, N, 4) clouds + masks."""
-        post = postprocess_sample(sample, self.lidar_utils)
-        S = sample.shape[0]
-        xyz = post["xyz"].reshape(S, -1, 3)
-        refl = post.get("reflectance")
-        inten = (
-            (refl.reshape(S, -1, 1) * 255.0)
-            if refl is not None
-            else jnp.zeros((S, xyz.shape[1], 1))
-        )
-        pts = jnp.concatenate([xyz, inten], axis=2)
-        mask = jnp.linalg.norm(xyz, axis=2) > 1e-2
-        # drop ego-radius points (cf. pipe_related.remove_ego_points)
-        mask &= ~((jnp.abs(pts[..., 0]) < 2.0) & (jnp.abs(pts[..., 1]) < 2.0))
-        return pts, mask
+        return _image_points_carry(sample, self.lidar_utils)
 
     # --------------------------------------------------------------- rollout
 
@@ -228,6 +240,7 @@ class TemporalRollout:
         num_frames: int = 15,
         interp_M: int | None = 16,
         fetch: bool = True,
+        stream_chunks: int = 1,
     ) -> list:
         """Full sequence, BATCHED over scenes;
         cf. ``sample_and_save_temporal.py:203-335``.
@@ -245,6 +258,13 @@ class TemporalRollout:
         frames and the device→host transfer (~1.1 s for 16×8 frames through
         the bench tunnel at ~30 MB/s, measured round 5) overlaps the next
         rollout's compute instead of serialising after it.
+
+        ``stream_chunks`` > 1 splits the frame scan into that many sequential
+        programs and (with ``fetch``) materialises each chunk's frames while
+        the next chunk computes — streaming delivery: earlier frames reach
+        the host seconds before the rollout finishes and most of the
+        transfer cost overlaps compute even in a single blocking call.  Each
+        distinct chunk length compiles its own program (first call only).
         """
         gt_fut_trajs = np.asarray(gt_fut_trajs, np.float32)
         boxes0 = np.asarray(boxes0, np.float32)
@@ -292,23 +312,43 @@ class TemporalRollout:
             [jnp.asarray(boxes0)[:, None], jnp.moveaxis(fut_boxes, 2, 1)[:, : Tsteps - 1]],
             axis=1,
         )  # (S, T, K, 7)
-        frames = _rollout_frames(
-            self.autoreg_engine,
-            self.autoreg_params,
-            self.lidar_utils,
-            first_frame_batch,
-            frame0,
-            jnp.swapaxes(boxes_seq, 0, 1),
-            jnp.moveaxis(fut_boxes[:, :, :Tsteps], 2, 0),
-            jnp.asarray(np.swapaxes(Ts[:, :Tsteps], 0, 1)),
-            classes_col,
-            box_mask,
-            keys,
-            num_classes=self.num_classes,
-            max_points_per_obj=self.max_points_per_obj,
-            num_steps=self.num_sampling_steps,
-            mode=self.sampling_mode,
-        )
-        if not fetch:
-            return [frame0] + list(frames)
-        return [np.asarray(frame0)] + [np.asarray(f) for f in frames]
+        boxes_t = jnp.swapaxes(boxes_seq, 0, 1)
+        next_boxes_t = jnp.moveaxis(fut_boxes[:, :, :Tsteps], 2, 0)
+        Ts_t = jnp.asarray(np.swapaxes(Ts[:, :Tsteps], 0, 1))
+
+        # streaming delivery: split the T-frame scan into ``stream_chunks``
+        # sequential programs and (when fetching) materialise chunk k's
+        # frames AFTER dispatching chunk k+1, so the device→host transfer
+        # overlaps the next chunk's compute instead of serialising after the
+        # whole rollout — and the first frames reach the host seconds early
+        stream_chunks = max(1, min(int(stream_chunks), Tsteps))
+        bounds = np.linspace(0, Tsteps, stream_chunks + 1).astype(int)
+        carry = self.image_to_points(frame0)
+        chunks, out = [], [np.asarray(frame0) if fetch else frame0]
+        for c in range(stream_chunks):
+            lo, hi = int(bounds[c]), int(bounds[c + 1])
+            frames_c, pts_f, mask_f = _rollout_frames(
+                self.autoreg_engine,
+                self.autoreg_params,
+                self.lidar_utils,
+                first_frame_batch,
+                carry[0],
+                carry[1],
+                boxes_t[lo:hi],
+                next_boxes_t[lo:hi],
+                Ts_t[lo:hi],
+                classes_col,
+                box_mask,
+                keys[lo:hi],
+                num_classes=self.num_classes,
+                max_points_per_obj=self.max_points_per_obj,
+                num_steps=self.num_sampling_steps,
+                mode=self.sampling_mode,
+            )
+            carry = (pts_f, mask_f)
+            if fetch and chunks:  # fetch the PREVIOUS chunk, overlapped
+                out += [np.asarray(f) for f in chunks.pop()]
+            chunks.append(frames_c)
+        for frames_c in chunks:
+            out += [np.asarray(f) for f in frames_c] if fetch else list(frames_c)
+        return out

@@ -89,6 +89,16 @@ def test_temporal_rollout_smoke(mode):
         assert f.shape == (1, H, W, 2)
         assert np.isfinite(f).all()
 
+    # streaming delivery must be frame-exact vs the single-program path:
+    # the chunk boundary only re-threads the (points, mask) carry
+    streamed = pipeline.rollout(
+        first_batch, gt_fut_trajs, boxes0, classes,
+        jax.random.PRNGKey(0), num_frames=2, interp_M=8, stream_chunks=2,
+    )
+    assert len(streamed) == 3
+    for a, b in zip(frames, streamed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 # --------------------------------------------------------- composed parity
 
