@@ -601,95 +601,111 @@ def main():
         def within_budget():
             return time.perf_counter() - t_start < budget
 
-        try:
+        errors = {}
+
+        def guard(name, fn, retries=1):
+            """Run one sub-bench in isolation: a transient tunnel failure
+            (remote_compile RPC resets happen — one aborted a whole round-5
+            report tail) retries once, then is recorded in extra['errors']
+            WITHOUT sinking the remaining sub-benches."""
+            if not within_budget():
+                return
+            last = None
+            for attempt in range(retries + 1):
+                try:
+                    fn()
+                    return
+                except Exception as e:
+                    last = f"{type(e).__name__}: {e}"
+                    _progress(f"{name} failed (attempt {attempt + 1}): {last[:160]}")
+            errors[name] = last[:500]
+
+        def layout_b8():
             _progress("layout-cond B=8: building + compiling")
             rate_b8, cond_cost = bench_layout_cond(B=8, with_cost=True, roofs=roofs)
             _progress(f"layout-cond B=8: {rate_b8:.2f} f/s")
             extra["layout_cond_fps_50step_ddim_b8"] = round(rate_b8, 3)
             extra["cond_cost"] = cond_cost
-            if within_budget():
-                # product fast path: DPM-Solver++(2M) needs only 25 steps for
-                # 50-DDIM-equivalent solver accuracy (tests/test_dpmpp_accuracy
-                # + BASELINE.md round-4 certification)
-                rate_dpm = bench_layout_cond(B=8, mode="dpmpp_2m", num_steps=25)
-                _progress(f"layout-cond DPM++(2M) 25-step: {rate_dpm:.2f} f/s")
-                extra["layout_cond_fps_25step_dpmpp2m_b8"] = round(rate_dpm, 3)
-            if within_budget():
-                # 20 steps also clears the 50-DDIM accuracy bar on the
-                # certification harness (~7x margin over 6 seeds,
-                # tests/test_dpmpp.py) — reported as the aggressive option
-                rate20 = bench_layout_cond(B=8, mode="dpmpp_2m", num_steps=20)
-                _progress(f"layout-cond DPM++(2M) 20-step: {rate20:.2f} f/s")
-                extra["layout_cond_fps_20step_dpmpp2m_b8"] = round(rate20, 3)
-            if within_budget():
-                # parity path: λ-grid DPM++@15 measures 0.98x DDIM@50's
-                # solver error on the trained production cert (round 5)
-                rate15 = bench_layout_cond(B=8, mode="dpmpp_2m", num_steps=15)
-                _progress(f"layout-cond DPM++(2M) 15-step: {rate15:.2f} f/s")
-                extra["layout_cond_fps_15step_dpmpp2m_b8"] = round(rate15, 3)
-            s8 = int(os.environ.get("BENCH_ROLLOUT_SCENES", "8"))
-            if s8 > 1 and within_budget():
-                _progress(f"rollout x{s8} scenes: building + compiling")
-                # canonical keys keep SINGLE-CALL semantics (comparable with
-                # BENCH_r01–r04); *_steady_state adds the serving rate with
-                # the frame fetch overlapped into the next rollout's compute
-                _, fpsp, fps = bench_rollout(scenes=s8)
-                _progress(f"rollout x{s8}: {fps:.2f} f/s ({fpsp:.2f} steady-state)")
-                extra[f"rollout_scenes{s8}_frames_per_sec"] = round(fps, 2)
-                extra[f"rollout_scenes{s8}_fps_steady_state"] = round(fpsp, 2)
-            if s8 > 1 and within_budget():
-                # product-path rollout: DPM++(2M) @ 25 steps (same certified
-                # solver as the layout-cond fast path above)
-                _progress(f"rollout x{s8} DPM++(2M)@25: building + compiling")
-                _, fpsp, fps = bench_rollout(scenes=s8, mode="dpmpp_2m", num_steps=25)
-                _progress(
-                    f"rollout x{s8} DPM++(2M)@25: {fps:.2f} f/s ({fpsp:.2f} steady-state)"
-                )
-                extra[f"rollout_scenes{s8}_fps_25step_dpmpp2m"] = round(fps, 2)
-                extra[f"rollout_scenes{s8}_fps_25step_steady_state"] = round(fpsp, 2)
-            if s8 > 1 and within_budget():
-                _, fpsp, fps = bench_rollout(scenes=s8, mode="dpmpp_2m", num_steps=20)
-                _progress(
-                    f"rollout x{s8} DPM++(2M)@20: {fps:.2f} f/s ({fpsp:.2f} steady-state)"
-                )
-                extra[f"rollout_scenes{s8}_fps_20step_dpmpp2m"] = round(fps, 2)
-                extra[f"rollout_scenes{s8}_fps_20step_steady_state"] = round(fpsp, 2)
-            if s8 > 1 and within_budget():
-                _, fpsp, fps = bench_rollout(scenes=s8, mode="dpmpp_2m", num_steps=15)
-                _progress(
-                    f"rollout x{s8} DPM++(2M)@15: {fps:.2f} f/s ({fpsp:.2f} steady-state)"
-                )
-                extra[f"rollout_scenes{s8}_fps_15step_dpmpp2m"] = round(fps, 2)
-                extra[f"rollout_scenes{s8}_fps_15step_steady_state"] = round(fpsp, 2)
-            if s8 > 1 and within_budget() and os.environ.get("BENCH_SPLIT_AB", "0") == "1":
-                # opt-in reproduction of the round-5 structural-overlap
-                # counter-experiment (BASELINE.md round 5)
-                ab = bench_layout_cond_split_ab(B=16, halves=2)
-                _progress(f"split 2x8 ddim@50 (B=16): {ab:.2f} f/s")
-                extra["layout_cond_fps_50step_split2x8_b16"] = round(ab, 3)
-            if within_budget():
-                extra["layout_cond_fps_50step_ddim_b1"] = round(
-                    bench_layout_cond(B=1), 3
-                )
-                _progress("layout-cond B=1 done")
-            if within_budget():
-                wall, _, _ = bench_rollout(scenes=1)
-                _progress(f"single-scene rollout: {wall:.1f} s")
-                extra["rollout_16frame_wall_s_50step_ddim"] = round(wall, 2)
-            if within_budget():
-                wall, _, _ = bench_rollout(scenes=1, mode="dpmpp_2m", num_steps=25)
-                _progress(f"single-scene rollout DPM++(2M)@25: {wall:.1f} s")
-                extra["rollout_16frame_wall_s_25step_dpmpp2m"] = round(wall, 2)
-            if within_budget():
-                steps_s, frames_s = bench_train_step()
-                _progress(f"train step: {steps_s:.2f} steps/s")
-                extra["train_steps_per_sec_b8_bf16amp"] = round(steps_s, 3)
-                extra["train_frames_per_sec"] = round(frames_s, 2)
-            if within_budget() and os.environ.get("BENCH_SOLVER_CERT", "1") != "0":
-                # production-topology DPM++ certification (VERDICT r4 task 2)
-                extra["solver_cert_production_stack"] = bench_solver_cert()
-        except Exception as e:  # sub-benches must never sink the headline
-            extra["error"] = f"{type(e).__name__}: {e}"
+
+        # product fast path: DPM-Solver++(2M) on the λ grid — @25 certified
+        # 3.3x below DDIM@50 solver error on the trained production stack,
+        # @20 2.0x (aggressive), @15 parity (bench_solver_cert, BASELINE.md
+        # round 5)
+        def layout_dpm(n):
+            def run():
+                rate = bench_layout_cond(B=8, mode="dpmpp_2m", num_steps=n)
+                _progress(f"layout-cond DPM++(2M) {n}-step: {rate:.2f} f/s")
+                extra[f"layout_cond_fps_{n}step_dpmpp2m_b8"] = round(rate, 3)
+            return run
+
+        # canonical rollout keys keep SINGLE-CALL semantics (comparable with
+        # BENCH_r01–r04); *_steady_state adds the serving rate with the
+        # frame fetch overlapped into the next rollout's compute
+        def roll(s8, mode="ddim", n=None, tag=""):
+            def run():
+                label = f"rollout x{s8}" + (f" DPM++(2M)@{n}" if tag else "")
+                _progress(f"{label}: building + compiling")
+                _, fpsp, fps = bench_rollout(scenes=s8, mode=mode, num_steps=n)
+                _progress(f"{label}: {fps:.2f} f/s ({fpsp:.2f} steady-state)")
+                key = f"rollout_scenes{s8}_{'fps_%dstep_dpmpp2m' % n if tag else 'frames_per_sec'}"
+                extra[key] = round(fps, 2)
+                skey = (f"rollout_scenes{s8}_fps_{n}step_steady_state" if tag
+                        else f"rollout_scenes{s8}_fps_steady_state")
+                extra[skey] = round(fpsp, 2)
+            return run
+
+        def split_ab():
+            # opt-in reproduction of the round-5 structural-overlap
+            # counter-experiment (BASELINE.md round 5)
+            ab = bench_layout_cond_split_ab(B=16, halves=2)
+            _progress(f"split 2x8 ddim@50 (B=16): {ab:.2f} f/s")
+            extra["layout_cond_fps_50step_split2x8_b16"] = round(ab, 3)
+
+        def layout_b1():
+            extra["layout_cond_fps_50step_ddim_b1"] = round(bench_layout_cond(B=1), 3)
+            _progress("layout-cond B=1 done")
+
+        def single_scene(mode, n, key, label):
+            def run():
+                wall, _, _ = bench_rollout(scenes=1, mode=mode, num_steps=n)
+                _progress(f"{label}: {wall:.1f} s")
+                extra[key] = round(wall, 2)
+            return run
+
+        def train():
+            steps_s, frames_s = bench_train_step()
+            _progress(f"train step: {steps_s:.2f} steps/s")
+            extra["train_steps_per_sec_b8_bf16amp"] = round(steps_s, 3)
+            extra["train_frames_per_sec"] = round(frames_s, 2)
+
+        def cert():
+            # production-topology DPM++ certification (VERDICT r4 task 2)
+            extra["solver_cert_production_stack"] = bench_solver_cert()
+
+        guard("layout_b8", layout_b8)
+        guard("layout_dpmpp25", layout_dpm(25))
+        guard("layout_dpmpp20", layout_dpm(20))
+        guard("layout_dpmpp15", layout_dpm(15))
+        s8 = int(os.environ.get("BENCH_ROLLOUT_SCENES", "8"))
+        if s8 > 1:
+            guard("rollout_ddim50", roll(s8))
+            guard("rollout_dpmpp25", roll(s8, "dpmpp_2m", 25, tag="dpm"))
+            guard("rollout_dpmpp20", roll(s8, "dpmpp_2m", 20, tag="dpm"))
+            guard("rollout_dpmpp15", roll(s8, "dpmpp_2m", 15, tag="dpm"))
+            if os.environ.get("BENCH_SPLIT_AB", "0") == "1":
+                guard("split_ab", split_ab)
+        guard("layout_b1", layout_b1)
+        guard("rollout_single_ddim50", single_scene(
+            "ddim", None, "rollout_16frame_wall_s_50step_ddim",
+            "single-scene rollout"))
+        guard("rollout_single_dpmpp25", single_scene(
+            "dpmpp_2m", 25, "rollout_16frame_wall_s_25step_dpmpp2m",
+            "single-scene rollout DPM++(2M)@25"))
+        guard("train_step", train)
+        if os.environ.get("BENCH_SOLVER_CERT", "1") != "0":
+            guard("solver_cert", cert)
+        if errors:
+            extra["errors"] = errors
 
     print(
         json.dumps(

@@ -30,6 +30,10 @@ def main():
                         help="sampler; dpmpp_2m @ 25 steps is the certified "
                              "product fast path (BASELINE.md round 4)")
     parser.add_argument("--interp", type=int, default=16)
+    parser.add_argument("--stream-chunks", type=int, default=2,
+                        help="split the frame scan into N programs so frame "
+                        "delivery overlaps the next chunk's compute "
+                        "(bit-exact; 1 = single program)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("-o", "--output", default="temporal_points")
     args = parser.parse_args()
@@ -90,7 +94,7 @@ def main():
         frames = pipeline.rollout(
             scene["batch"], scene["gt_fut_trajs"], scene["boxes0"],
             scene["box_classes"], r, num_frames=args.num_frames,
-            interp_M=args.interp,
+            interp_M=args.interp, stream_chunks=args.stream_chunks,
         )
         seq_dir = out_root / f"seq_{si:04d}"
         seq_dir.mkdir(parents=True, exist_ok=True)
