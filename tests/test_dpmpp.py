@@ -131,6 +131,38 @@ def test_beats_ddim_on_curved_flow():
     assert err(128, "dpmpp_2m") < err(128, "ddim")
 
 
+def test_lambda_grid_valid_for_all_schedules():
+    """The dense-table inversion must produce a strictly decreasing t grid
+    with pinned endpoints and uniform λ spacing for every noise schedule,
+    including the non-analytically-invertible interpolated one."""
+    from functools import partial
+
+    from lidarcrafter_tpu.diffusion import schedules
+    from lidarcrafter_tpu.diffusion.continuous import lambda_spaced_timesteps
+
+    fns = {
+        "linear": schedules.log_snr_schedule_linear,
+        "cosine": schedules.log_snr_schedule_cosine,
+        "cosine_shifted": partial(
+            schedules.log_snr_schedule_cosine_shifted, image_d=64.0, noise_d=32.0
+        ),
+        "cosine_interpolated": partial(
+            schedules.log_snr_schedule_cosine_interpolated,
+            image_d=64.0, noise_d_low=32.0, noise_d_high=128.0,
+        ),
+    }
+    for name, fn in fns.items():
+        g = np.asarray(lambda_spaced_timesteps(fn, 25))
+        assert g[0] == 1.0 and g[-1] == 0.0, (name, g[[0, -1]])
+        assert np.all(np.diff(g) < 0), name
+        lam = 0.5 * np.asarray(fn(jnp.asarray(g)))
+        dlam = np.diff(lam)
+        # uniform within interpolation error of the 4096-entry table
+        assert np.all(np.abs(dlam - dlam.mean()) < 0.05 * abs(dlam.mean())), (
+            name, dlam,
+        )
+
+
 def test_return_all_shape_and_determinism():
     eng = _engine(_curved_apply)
     rng = jax.random.PRNGKey(2)
