@@ -30,6 +30,13 @@ def main():
                         help="sampler; dpmpp_2m @ 25 steps is the certified "
                              "product fast path (BASELINE.md round 4)")
     parser.add_argument("--interp", type=int, default=16)
+    parser.add_argument("--resolution", type=int, nargs=2, default=None,
+                        help="override (H, W) for reduced-size smokes; the "
+                        "scene batch maps must match this resolution")
+    parser.add_argument("--model-channels", type=int, default=None,
+                        help="override both branches' UNet model/encoder "
+                        "channel width for reduced-size smokes (cf. "
+                        "generate_flow --base-channels)")
     parser.add_argument("--stream-chunks", type=int, default=2,
                         help="split the frame scan into N programs so frame "
                         "delivery overlaps the next chunk's compute "
@@ -50,6 +57,18 @@ def main():
 
     def load_branch(cfg_name, ckpt):
         cfg = get_config(cfg_name)
+        if args.resolution:
+            cfg.data.resolution = tuple(args.resolution)
+            if getattr(cfg, "condition_model", None) is not None:
+                cfg.condition_model.params["feature_map_size"] = tuple(args.resolution)
+        if args.model_channels:
+            for key in ("model_channels", "encoder_channels", "num_head_channels"):
+                if key in cfg.model.params:
+                    cfg.model.params[key] = args.model_channels
+            # the layout encoder's pooled xf_proj adds onto the UNet's time
+            # embedding (4x model_channels) — keep the widths consistent
+            if "output_dim" in cfg.condition_model.params:
+                cfg.condition_model.params["output_dim"] = 4 * args.model_channels
         models, engine, lidar_utils = build_diffusion_training(cfg)
         H, W = cfg.data.resolution
         L = cfg.condition_model.params["layout_length"]
