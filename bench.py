@@ -612,6 +612,8 @@ def main():
                 return
             last = None
             for attempt in range(retries + 1):
+                if attempt and not within_budget():
+                    break  # a failed cold compile may have eaten the budget
                 try:
                     fn()
                     return
@@ -638,9 +640,12 @@ def main():
                 extra[f"layout_cond_fps_{n}step_dpmpp2m_b8"] = round(rate, 3)
             return run
 
-        # canonical rollout keys keep SINGLE-CALL semantics (comparable with
-        # BENCH_r01–r04); *_steady_state adds the serving rate with the
-        # frame fetch overlapped into the next rollout's compute
+        # canonical rollout keys stay SINGLE-CALL (one blocking rollout()
+        # including its frame fetch), though round 5 changed methodology
+        # within that meaning: median of 3 calls, streamed in 2 chunks
+        # (extra.rollout_method records it — read cross-round diffs vs
+        # BENCH_r01–r04 with that in mind); *_steady_state adds the serving
+        # rate with the fetch overlapped into the next rollout's compute
         def roll(s8, mode="ddim", n=None, tag=""):
             def run():
                 label = f"rollout x{s8}" + (f" DPM++(2M)@{n}" if tag else "")
@@ -688,6 +693,7 @@ def main():
         guard("layout_dpmpp15", layout_dpm(15))
         s8 = int(os.environ.get("BENCH_ROLLOUT_SCENES", "8"))
         if s8 > 1:
+            extra["rollout_method"] = "median-of-3 single calls, 2 stream chunks"
             guard("rollout_ddim50", roll(s8))
             guard("rollout_dpmpp25", roll(s8, "dpmpp_2m", 25, tag="dpm"))
             guard("rollout_dpmpp20", roll(s8, "dpmpp_2m", 20, tag="dpm"))

@@ -28,3 +28,29 @@ __all__ = {
 
 def get_config(name: str):
     return __all__[name]()
+
+
+def apply_reduced_topology(cfg, resolution=None, model_channels=None):
+    """Shrink a config for reduced-size smokes/CI, keeping widths consistent.
+
+    ``resolution`` propagates to the condition encoder's ``feature_map_size``;
+    ``model_channels`` overrides the UNet model/encoder/head channel widths
+    AND the layout encoder's ``output_dim`` (its pooled ``xf_proj`` adds onto
+    the UNet's 4x-channels time embedding — leaving it at production width
+    raises a broadcast error deep in layout_unet).  Used by
+    ``tools/sample_temporal.py`` (--resolution / --model-channels) and tests.
+    """
+    if resolution:
+        cfg.data.resolution = tuple(resolution)
+        if getattr(cfg, "condition_model", None) is not None:
+            cfg.condition_model.params["feature_map_size"] = tuple(resolution)
+    if model_channels:
+        for key in ("model_channels", "encoder_channels", "num_head_channels"):
+            if key in cfg.model.params:
+                cfg.model.params[key] = model_channels
+        if (
+            getattr(cfg, "condition_model", None) is not None
+            and "output_dim" in cfg.condition_model.params
+        ):
+            cfg.condition_model.params["output_dim"] = 4 * model_channels
+    return cfg

@@ -96,18 +96,9 @@ def _rollout_frames(
     v_boxes2d = jax.vmap(partial(convert_boxes_to_2d, H=H, W=W))
 
     def image_to_points(sample):
-        post = postprocess_sample(sample, lidar_utils)
-        xyz = post["xyz"].reshape(S, -1, 3)
-        refl = post.get("reflectance")
-        inten = (
-            (refl.reshape(S, -1, 1) * 255.0)
-            if refl is not None
-            else jnp.zeros((S, xyz.shape[1], 1))
-        )
-        pts = jnp.concatenate([xyz, inten], axis=2)
-        mask = jnp.linalg.norm(xyz, axis=2) > 1e-2
-        mask &= ~((jnp.abs(pts[..., 0]) < 2.0) & (jnp.abs(pts[..., 1]) < 2.0))
-        return pts, mask
+        # the SAME function used for the chunk-boundary carry: the
+        # stream_chunks bit-exactness guarantee rests on one implementation
+        return _image_points_carry(sample, lidar_utils)
 
     def body(carry, xs):
         pts, mask = carry
@@ -324,7 +315,7 @@ class TemporalRollout:
         stream_chunks = max(1, min(int(stream_chunks), Tsteps))
         bounds = np.linspace(0, Tsteps, stream_chunks + 1).astype(int)
         carry = self.image_to_points(frame0)
-        chunks, out = [], [np.asarray(frame0) if fetch else frame0]
+        chunks, out = [], [frame0]  # frame0 fetched AFTER chunk-0 dispatch
         for c in range(stream_chunks):
             lo, hi = int(bounds[c]), int(bounds[c + 1])
             frames_c, pts_f, mask_f = _rollout_frames(
@@ -346,6 +337,8 @@ class TemporalRollout:
                 mode=self.sampling_mode,
             )
             carry = (pts_f, mask_f)
+            if fetch and c == 0:  # frame0's transfer overlaps chunk-0 compute
+                out[0] = np.asarray(frame0)
             if fetch and chunks:  # fetch the PREVIOUS chunk, overlapped
                 out += [np.asarray(f) for f in chunks.pop()]
             chunks.append(frames_c)

@@ -30,18 +30,21 @@ def test_cli_exposes_serving_flags():
 
 
 def test_model_channel_override_keeps_widths_consistent():
-    """The --model-channels shrink must propagate to the UNet widths AND the
-    layout encoder's xf_proj output (added onto the 4x-channels time
-    embedding) — the mismatch JAX would otherwise raise is a broadcast error
-    deep in layout_unet."""
-    from lidarcrafter_tpu.configs import get_config
+    """The CLI's shrink helper (``configs.apply_reduced_topology``) must
+    propagate to the BUILT modules: UNet widths AND the layout encoder's
+    xf_proj output (added onto the 4x-channels time embedding) — an
+    inconsistent pair raises a broadcast error deep in layout_unet."""
+    from lidarcrafter_tpu.configs import apply_reduced_topology, get_config
+    from lidarcrafter_tpu.training import build_diffusion_training
 
-    cfg = get_config("nuscenes-box-layout-v6")
-    mc = 32
-    for key in ("model_channels", "encoder_channels", "num_head_channels"):
-        if key in cfg.model.params:
-            cfg.model.params[key] = mc
-    if "output_dim" in cfg.condition_model.params:
-        cfg.condition_model.params["output_dim"] = 4 * mc
-    assert cfg.model.params["model_channels"] == mc
-    assert cfg.condition_model.params["output_dim"] == 4 * mc
+    cfg = apply_reduced_topology(
+        get_config("nuscenes-box-layout-v6"),
+        resolution=(32, 64), model_channels=32,
+    )
+    models, _, lidar_utils = build_diffusion_training(cfg)
+    assert models["model"].model_channels == 32
+    assert models["model"].encoder_channels == 32
+    assert models["model"].num_head_channels == 32
+    assert models["cond"].output_dim == 4 * 32
+    assert tuple(models["cond"].feature_map_size) == (32, 64)
+    assert tuple(lidar_utils.resolution) == (32, 64)

@@ -49,26 +49,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from lidarcrafter_tpu.configs import get_config
+    from lidarcrafter_tpu.configs import apply_reduced_topology, get_config
     from lidarcrafter_tpu.pipeline import TemporalRollout
     from lidarcrafter_tpu.training import TrainState, build_diffusion_training, make_optimizer
     from lidarcrafter_tpu.training.checkpoint import restore_checkpoint
     from lidarcrafter_tpu.training.preprocess import postprocess_sample
 
     def load_branch(cfg_name, ckpt):
-        cfg = get_config(cfg_name)
-        if args.resolution:
-            cfg.data.resolution = tuple(args.resolution)
-            if getattr(cfg, "condition_model", None) is not None:
-                cfg.condition_model.params["feature_map_size"] = tuple(args.resolution)
-        if args.model_channels:
-            for key in ("model_channels", "encoder_channels", "num_head_channels"):
-                if key in cfg.model.params:
-                    cfg.model.params[key] = args.model_channels
-            # the layout encoder's pooled xf_proj adds onto the UNet's time
-            # embedding (4x model_channels) — keep the widths consistent
-            if "output_dim" in cfg.condition_model.params:
-                cfg.condition_model.params["output_dim"] = 4 * args.model_channels
+        cfg = apply_reduced_topology(
+            get_config(cfg_name),
+            resolution=args.resolution,
+            model_channels=args.model_channels,
+        )
         models, engine, lidar_utils = build_diffusion_training(cfg)
         H, W = cfg.data.resolution
         L = cfg.condition_model.params["layout_length"]
